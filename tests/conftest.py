@@ -1,0 +1,36 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices (SURVEY.md section 4);
+real-TPU execution is exercised by bench.py / the driver instead.
+
+Note: this environment's sitecustomize imports jax at interpreter start and
+pins jax_platforms to the tunneled 'axon' TPU backend via jax.config, which
+both overrides JAX_PLATFORMS and would funnel every test op through the
+tunnel. We force the config back to cpu here, before any test imports jax
+APIs that create backends.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(0)
