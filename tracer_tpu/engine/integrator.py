@@ -1,0 +1,276 @@
+"""Wavefront path integrator (replaces integrator.fut).
+
+The reference's megakernel — one thread running the full bounce loop per
+pixel (integrator.fut:27-76, :103-116) — becomes a batched wavefront: a
+flat pool of N = w*h lanes advances one bounce per iteration of a single
+lax.while_loop. Each iteration batches one closest-hit query, one NEE+MIS
+direct-lighting estimate (two any_hit shadow queries) and one BSDF sample
+across the entire pool, keeping the VPU/MXU dense; finished lanes are
+masked and the loop exits early once every lane is dead
+(SURVEY.md section 7.6).
+
+Estimator semantics preserved exactly (SURVEY.md "estimator fidelity"):
+one hero wavelength + one channel per camera sample, emission added only
+at the first bounce, ambience on miss, unit-weight Russian roulette
+(p_terminate = 1 - bsdf*cos/pdf so surviving samples carry weight 1,
+integrator.fut:62-69), per-bounce (distance, radiance) records of length
+16 for the LiDAR return pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tracer_tpu.models import camera as cam_mod
+from tracer_tpu.models import scene as scene_mod
+from tracer_tpu.ops import linalg as la
+from tracer_tpu.ops import materials, shapes
+from tracer_tpu.ops import rng as prng
+from tracer_tpu.ops import spectrum as spec
+from tracer_tpu.engine import direct as direct_mod
+
+PATH_LEN = 16  # max path length (integrator.fut:23)
+
+# LiDAR return distance window (lib.fut:40, integrator.fut:153)
+LIDAR_MIN_D = 0.5
+LIDAR_MAX_D = 10.0
+
+
+class PathRecords(NamedTuple):
+    """Per-lane per-bounce records — `path` in integrator.fut:25."""
+    distance: jax.Array   # (N, PATH_LEN) cumulative distance, +inf dark
+    radiance: jax.Array   # (N, PATH_LEN)
+
+
+class FrameSamples(NamedTuple):
+    """Everything sample_pixels produces for one 1-spp wavefront."""
+    ray_origin: jax.Array  # (N, 3) primary ray
+    ray_dir: jax.Array     # (N, 3)
+    channel: jax.Array     # (N,) int32 sensor channel of the hero sample
+    path: PathRecords
+    rays_traced: jax.Array  # scalar int32: total trace queries (bench)
+
+
+def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
+               ambience, transmitter_kind: str,
+               trans_tris: Optional[jax.Array], trans_theta,
+               trans_emission) -> tuple[jax.Array, PathRecords, jax.Array]:
+    """Trace the whole lane pool through <= PATH_LEN bounces
+    (path_trace, integrator.fut:27-76). Returns (rng_state, PathRecords,
+    rays_traced)."""
+    n = origin.shape[0]
+    ambient = spec.lookup(wavelen, jnp.broadcast_to(ambience, (n, 6, 2)))
+
+    init = dict(
+        rng=state,
+        o=origin, d=d,
+        alive=jnp.ones((n,), bool),
+        cum_dist=jnp.zeros((n,), jnp.float32),
+        dist=jnp.full((n, PATH_LEN), jnp.inf, jnp.float32),
+        rad=jnp.zeros((n, PATH_LEN), jnp.float32),
+        i=jnp.int32(0),
+        rays=jnp.int32(0),
+    )
+
+    def cond(c):
+        return (c["i"] < PATH_LEN) & jnp.any(c["alive"])
+
+    def body(c):
+        alive = c["alive"]
+        inter = scene_mod.closest_interaction(
+            scene, shapes.F32_HIGHEST, c["o"], c["d"], wavelen)
+        hit = alive & inter.ok
+        miss = alive & ~inter.ok
+
+        # Miss: record ambience at infinite distance, lane dies
+        # (integrator.fut:76).
+        dist = c["dist"].at[:, c["i"]].set(
+            jnp.where(miss, jnp.inf, c["dist"][:, c["i"]]))
+        rad = c["rad"].at[:, c["i"]].set(
+            jnp.where(miss, ambient, c["rad"][:, c["i"]]))
+
+        # Hit: NEE direct light + first-bounce emission
+        # (integrator.fut:46-55).
+        wo = -c["d"]
+        rng, direct = direct_mod.direct_radiance(
+            c["rng"], scene, wo, inter, wavelen, trans_tris,
+            transmitter_kind, trans_theta, trans_emission)
+        emitted = jnp.where(c["i"] == 0,
+                            spec.lookup(wavelen, inter.emission), 0.0)
+        radiance = direct + emitted
+        cum_dist = jnp.where(hit, c["cum_dist"] + inter.t, c["cum_dist"])
+        dist = dist.at[:, c["i"]].set(
+            jnp.where(hit, cum_dist, dist[:, c["i"]]))
+        rad = rad.at[:, c["i"]].set(
+            jnp.where(hit, radiance, rad[:, c["i"]]))
+
+        # BSDF bounce + unit-weight Russian roulette
+        # (integrator.fut:56-75).
+        rng, wi, bsdf, pdf_val, pdf_kind = materials.sample_dir(
+            rng, wo, inter.normal, inter.mat)
+        pdf = jnp.where(pdf_kind == materials.PDF_DELTA, 1.0,
+                        jnp.where(pdf_kind == materials.PDF_NONZERO,
+                                  pdf_val, 0.0))
+        cos_falloff = jnp.abs(la.dot(inter.normal, wi))
+        p_terminate = 1.0 - bsdf * cos_falloff / pdf
+        rng, u = prng.next_unit(rng)
+        terminate = u < p_terminate
+        alive_next = hit & (pdf != 0) & ~terminate
+
+        o_new, d_new = shapes.mkray_adjust_acne(inter.pos, inter.normal, wi)
+        o = jnp.where(alive_next[:, None], o_new, c["o"])
+        dnew = jnp.where(alive_next[:, None], d_new, c["d"])
+
+        # 1 closest + 2 shadow queries per live lane this bounce.
+        rays = c["rays"] + 3 * jnp.sum(alive).astype(jnp.int32)
+        return dict(rng=rng, o=o, d=dnew, alive=alive_next,
+                    cum_dist=cum_dist, dist=dist, rad=rad,
+                    i=c["i"] + 1, rays=rays)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out["rng"], PathRecords(distance=out["dist"], radiance=out["rad"]), out["rays"]
+
+
+def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
+                  ambience, w: int, h: int,
+                  transmitter_kind: str) -> FrameSamples:
+    """One 1-spp wavefront over a w x h grid (sample_pixels,
+    integrator.fut:103-116 + sample_pixel :78-101), N = w*h lanes in
+    row-major order.
+
+    seed/nonce: scalars. Independent per-pixel streams come from hashing
+    (seed, nonce, lane id) — the counter-based analogue of the
+    reference's per-frame split_rng (integrator.fut:109); the caller
+    advances the nonce each frame.
+    """
+    n = w * h
+    jj, ii = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+    # the reference flips i: y = h - i - 1 (integrator.fut:89)
+    ji = jnp.stack([jj.reshape(-1), (h - ii.reshape(-1) - 1.0)], axis=-1)
+
+    state = prng.make_streams(seed, nonce, jnp.arange(n, dtype=jnp.uint32))
+    state, wavelen, channel = cam_mod.sample_wavelength(state, cam.conf)
+    wh = jnp.asarray([w, h], jnp.float32)
+    state, origin, d = cam_mod.sample_ray(state, cam, wh, ji)
+
+    trans_tris = cam_mod.gen_transmitter_tris(cam, transmitter_kind, d)
+
+    state, path, rays = path_trace(
+        state, scene, origin, d, wavelen, ambience, transmitter_kind,
+        trans_tris, cam.conf.trans_theta, cam.conf.trans_emission)
+    rays = rays + jnp.int32(n)  # primary rays
+    return FrameSamples(ray_origin=origin, ray_dir=d, channel=channel,
+                        path=path, rays_traced=rays)
+
+
+# ---------------------------------------------------------------------------
+# Visualization (integrator.fut:133-170)
+
+def hue_to_rgb(hhue):
+    """HSV->RGB at full saturation/value (integrator.fut:139-148)."""
+    hp = hhue * 6.0
+    x = 1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0)
+    k = jnp.floor(hp).astype(jnp.int32)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    rgb = jnp.select(
+        [k == 0, k == 1, k == 2, k == 3, k == 4],
+        [jnp.stack([one, x, zero], -1),
+         jnp.stack([x, one, zero], -1),
+         jnp.stack([zero, one, x], -1),
+         jnp.stack([zero, x, one], -1),
+         jnp.stack([x, zero, one], -1)],
+        jnp.stack([one, zero, x], -1))
+    return rgb
+
+
+def visualize_color(samples: FrameSamples, channel_colors, w: int, h: int):
+    """Sum of per-bounce radiance routed to the sample's channel color,
+    scaled by the channel count (integrator.fut:163-168)."""
+    n_channels = channel_colors.shape[0]
+    intensity = jnp.sum(samples.path.radiance, axis=-1)  # (N,)
+    color = channel_colors[samples.channel]              # (N, 3)
+    img = la.scale(intensity, color) * jnp.float32(n_channels)
+    return img.reshape(h, w, 3)
+
+
+def visualize_distance(samples: FrameSamples, w: int, h: int):
+    """Closest valid LiDAR return mapped to hue (integrator.fut:150-162)."""
+    d = samples.path.distance
+    valid = ((samples.path.radiance > 0)
+             & (d > LIDAR_MIN_D) & (d < LIDAR_MAX_D))
+    dmin = jnp.min(jnp.where(valid, d, jnp.inf), axis=-1)
+    has = jnp.isfinite(dmin)
+    hue = 0.85 * (dmin - LIDAR_MIN_D) / (LIDAR_MAX_D - LIDAR_MIN_D)
+    rgb = hue_to_rgb(jnp.where(has, hue, 0.0))
+    img = jnp.where(has[:, None], rgb, 0.0)
+    return img.reshape(h, w, 3)
+
+
+def visualize(samples: FrameSamples, render_mode: str, channel_colors,
+              w: int, h: int):
+    if render_mode == "distance":
+        return visualize_distance(samples, w, h)
+    return visualize_color(samples, channel_colors, w, h)
+
+
+# ---------------------------------------------------------------------------
+# Frame accumulation (integrator.fut:180-192)
+
+def accumulate_color(acc, new, n_frames):
+    """EMA merge using the pre-increment frame count, matching
+    sample_frame_accum exactly (integrator.fut:190-192) — including its
+    quirk that the n_frames=1 merge discards the first frame."""
+    nf = jnp.asarray(n_frames, jnp.float32)
+    return acc * ((nf - 1.0) / nf) + new * (1.0 / nf)
+
+
+def accumulate_distance(acc, new):
+    """Keep the existing pixel when it already has a return
+    (integrator.fut:188-189)."""
+    keep = la.norm(acc) > 0
+    return jnp.where(keep[..., None], acc, new)
+
+
+# ---------------------------------------------------------------------------
+# LiDAR point clouds (integrator.fut:118-128, lib.fut:35-63)
+
+class CloudPoints(NamedTuple):
+    pos: jax.Array        # (N, PATH_LEN, 3)
+    distance: jax.Array   # (N, PATH_LEN)
+    intensity: jax.Array  # (N, PATH_LEN)
+
+
+def to_cloud_points(samples: FrameSamples) -> CloudPoints:
+    """Positions along the straight primary ray at each return's path
+    distance (sample_points, integrator.fut:118-128)."""
+    d = samples.path.distance
+    safe_d = jnp.where(jnp.isfinite(d), d, 0.0)
+    pos = (samples.ray_origin[:, None, :]
+           + safe_d[..., None] * samples.ray_dir[:, None, :])
+    return CloudPoints(pos=pos, distance=d,
+                       intensity=samples.path.radiance)
+
+
+def closest_return(points: CloudPoints, spp_factor):
+    """Scale intensity by 1/spp, filter to the LiDAR window, min-distance
+    return per lane (the `closest` helper, lib.fut:40-47). Returns
+    (pos (N,3), distance (N,), intensity (N,)); misses are
+    pos=(-1,-1,-1), distance=inf, intensity=0."""
+    inten = points.intensity * spp_factor
+    valid = ((inten > 0)
+             & (points.distance > LIDAR_MIN_D)
+             & (points.distance < LIDAR_MAX_D))
+    dist = jnp.where(valid, points.distance, jnp.inf)
+    k = jnp.argmin(dist, axis=-1)
+    best_d = jnp.take_along_axis(dist, k[:, None], axis=-1)[:, 0]
+    has = jnp.isfinite(best_d)
+    best_pos = jnp.take_along_axis(points.pos, k[:, None, None], axis=1)[:, 0]
+    best_i = jnp.take_along_axis(inten, k[:, None], axis=-1)[:, 0]
+    pos = jnp.where(has[:, None], best_pos, -1.0)
+    inten_out = jnp.where(has, best_i, 0.0)
+    return pos, jnp.where(has, best_d, jnp.inf), inten_out

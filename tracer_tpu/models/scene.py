@@ -1,0 +1,121 @@
+"""Scene assembly: triangles + material table + lights + acceleration
+structure (replaces scene.fut).
+
+Acceleration is pluggable behind a common query interface, mirroring the
+reference's module-type-abstracted bvh (bvh.fut:11-23):
+  * "dense"  — the MXU matmul intersector (exhaustive; fastest for the
+               small scenes this framework targets AND the correctness
+               oracle, like mk_fake_bvh bvh.fut:25-43)
+  * "lbvh"   — morton/Karras LBVH with stackless traversal (bvh.fut:75-168)
+Light extraction happens host-side at scene build: light count must be
+static under jit anyway (SURVEY.md section 7 "dynamic shapes").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tracer_tpu.models import lights as lights_mod
+from tracer_tpu.ops import bvh as bvh_mod
+from tracer_tpu.ops import intersect, materials
+
+Accel = Union[intersect.DenseTris, bvh_mod.LBVH]
+
+# Triangle count at/below which the exhaustive MXU intersector beats
+# gather-based LBVH traversal on TPU (dense work is pure matmul).
+DENSE_THRESHOLD = 4096
+
+
+class Scene(NamedTuple):
+    tris: jax.Array              # (T, 3, 3)
+    mat_ix: jax.Array            # (T,) int32
+    materials: materials.MaterialTable
+    lights: lights_mod.Lights    # emissive triangles (scene.fut:58-66)
+    accel: Accel
+
+
+def extract_lights(tris_np, tri_mats_np, mat_rows_np) -> lights_mod.Lights:
+    """Host-side emissive-triangle extraction (get_lights, scene.fut:58-66):
+    a material is emissive when any knot has wavelength >= 0 and
+    intensity > 0."""
+    mat_rows_np = np.asarray(mat_rows_np, np.float32)
+    emission = mat_rows_np[:, 16:28].reshape(-1, 6, 2)
+    emissive_mat = ((emission[:, :, 0] >= 0) & (emission[:, :, 1] > 0)).any(axis=1)
+    mask = emissive_mat[np.asarray(tri_mats_np, np.int64)]
+    sel = np.nonzero(mask)[0]
+    if sel.size == 0:
+        return lights_mod.empty_lights()
+    tri = np.asarray(tris_np, np.float32)[sel]
+    em = emission[np.asarray(tri_mats_np, np.int64)[sel]]
+    return lights_mod.Lights(
+        kind=jnp.full((sel.size,), lights_mod.KIND_DIFFUSE_AREA, jnp.int32),
+        tri=jnp.asarray(tri),
+        theta=jnp.zeros((sel.size,), jnp.float32),
+        emission=jnp.asarray(em))
+
+
+def build_scene(tris_np, tri_mats_np, mat_rows_np,
+                accel: str = "auto") -> Scene:
+    """Assemble + accelerate a scene from loader output
+    (parse_triangles/parse_mats/accelerate_scene, scene.fut:26-76).
+
+    tris_np: (T, 3, 3) f32; tri_mats_np: (T,) u32; mat_rows_np: (M, 28) f32.
+    accel: "dense" | "lbvh" | "auto" (size-based choice).
+    """
+    tris_np = np.asarray(tris_np, np.float32)
+    t = tris_np.shape[0]
+    if accel == "auto":
+        accel = "dense" if t <= DENSE_THRESHOLD else "lbvh"
+    tris = jnp.asarray(tris_np)
+    if accel == "dense":
+        acc: Accel = intersect.build_dense(tris)
+    elif accel == "lbvh":
+        acc = bvh_mod.build(tris)
+    else:
+        raise ValueError(f"unknown accel {accel!r}")
+    return Scene(
+        tris=tris,
+        mat_ix=jnp.asarray(np.asarray(tri_mats_np, np.int64), jnp.int32),
+        materials=materials.parse_mats(mat_rows_np),
+        lights=extract_lights(tris_np, tri_mats_np, mat_rows_np),
+        accel=acc)
+
+
+def closest_hit(scene: Scene, tmax, origin, d):
+    """Dispatch to the active acceleration structure. Returns
+    (ok, t, tri_idx, pos, normal) with tri_idx in input triangle order."""
+    if isinstance(scene.accel, intersect.DenseTris):
+        return intersect.closest_hit(scene.accel, tmax, origin, d)
+    return bvh_mod.closest_hit(scene.accel, tmax, origin, d)
+
+
+def any_hit(scene: Scene, tmax, origin, d):
+    if isinstance(scene.accel, intersect.DenseTris):
+        return intersect.any_hit(scene.accel, tmax, origin, d)
+    return bvh_mod.any_hit(scene.accel, tmax, origin, d)
+
+
+class Interaction(NamedTuple):
+    """Per-lane surface interaction (material.fut:22 'interaction')."""
+    ok: jax.Array       # (N,) bool
+    t: jax.Array        # (N,)
+    pos: jax.Array      # (N, 3)
+    normal: jax.Array   # (N, 3)
+    mat_ix: jax.Array   # (N,) int32 (clamped to 0 on miss)
+    mat: materials.MaterialLanes
+    emission: jax.Array  # (N, 6, 2) material emission spectra
+
+
+def closest_interaction(scene: Scene, tmax, origin, d, wavelen) -> Interaction:
+    """closest_hit + material gather at the hero wavelength
+    (closest_interaction, scene.fut:68-73)."""
+    ok, t, tri_idx, pos, normal = closest_hit(scene, tmax, origin, d)
+    mat_ix = scene.mat_ix[jnp.where(ok, jnp.maximum(tri_idx, 0), 0)]
+    mat = materials.at_wavelength(scene.materials, mat_ix, wavelen)
+    emission = scene.materials.emission[mat_ix]
+    return Interaction(ok=ok, t=t, pos=pos, normal=normal, mat_ix=mat_ix,
+                       mat=mat, emission=emission)
