@@ -1,0 +1,79 @@
+"""Headline benchmark: Mrays/sec on 512x512 CornellBox progressive path
+tracing with NEE (BASELINE.md config 2, target >50 Mrays/sec/chip).
+
+Counts actual trace queries (closest-hit + the two MIS shadow queries per
+live bounce, + primaries) as reported by the integrator, divided by
+steady-state wall time per frame on the device jax selects (the real TPU
+chip under the driver; CPU when forced).
+
+Prints exactly one JSON line:
+  {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
+   "vs_baseline": N/50}
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def build_state(size):
+    import tracer_tpu as T
+    from tracer_tpu.utils.objloader import load_obj
+
+    assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
+    path = os.path.join(assets, "CornellBox-Original.obj")
+    if os.path.exists(path):
+        tris, tm, mats = load_obj(path)
+    else:
+        from tracer_tpu.utils.testscenes import cornell_like
+        tris, tm, mats = cornell_like()
+    return T.init(0, size, size, 0, tris, tm, mats,
+                  cam_origin=(0.0, 0.8, 1.8))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tracer_tpu.engine import integrator
+
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    s = build_state(size)
+    w, h = s.sub_dims
+
+    @jax.jit
+    def frame(seed, nonce, scene, cam, ambience):
+        samples = integrator.sample_pixels(
+            seed, nonce, scene, cam, ambience, w, h, s.transmitter_kind)
+        img = integrator.visualize(samples, s.render_mode,
+                                   cam.conf.sensor_color, w, h)
+        return img, samples.rays_traced
+
+    # compile + warmup
+    img, rays = frame(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+    jax.block_until_ready(img)
+
+    total_rays = 0
+    t0 = time.perf_counter()
+    for k in range(frames):
+        img, rays = frame(s.seed, s.nonce + np.uint32(1 + k), s.scene,
+                          s.cam, s.ambience)
+        total_rays += int(rays)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(json.dumps({
+        "metric": "mrays_per_sec",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Engine-level behavior: furnace identity, Cornell statistics, LiDAR
+returns, accumulation semantics, key state machine, ARGB packing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import tracer_tpu as T
+from tracer_tpu.engine import integrator, keys
+from tracer_tpu.ops import spectrum as spec
+from tracer_tpu.utils import testscenes
+from tracer_tpu.utils.image import argb_to_rgb
+from tracer_tpu.utils.pcd import write_pcd
+
+
+def cornell_state(h=32, w=32, conf=0):
+    tris, tm, mats = testscenes.cornell_like()
+    return T.init(0, h, w, conf, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+
+
+def empty_state(h=16, w=16):
+    tris = np.zeros((0, 3, 3), np.float32)
+    return T.init(0, h, w, 0, tris, np.zeros((0,), np.uint32),
+                  np.zeros((0, 28), np.float32), accel="dense")
+
+
+def test_white_furnace_ambience():
+    """Empty scene + uniform ambience: every primary ray records the
+    ambience; expected pixel value over channels is exactly (1,1,1)
+    (miss path integrator.fut:76 + x3-channel scaling :163-168)."""
+    s = empty_state()
+    s = s.replace(ambience=jnp.asarray(spec.uniform_spectrum(1.0)))
+    img = np.asarray(T.sample_n_frames(s, 600))
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(img.mean(axis=(0, 1)), [1, 1, 1], atol=0.05)
+
+
+def test_cornell_statistics():
+    s = cornell_state()
+    img = np.asarray(T.sample_n_frames(s, 48))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.5          # light visible
+    assert img.mean() > 0.02
+    # wall tint: the red/green balance must swing red on the left edge
+    # and green on the right edge (robust to the warm light color)
+    left = img[:, :10]
+    right = img[:, -10:]
+    assert left[..., 0].mean() > 1.5 * left[..., 1].mean()
+    rg_right = right[..., 1].mean() - right[..., 0].mean()
+    rg_left = left[..., 1].mean() - left[..., 0].mean()
+    assert rg_right > rg_left + 0.01
+
+
+def test_determinism_and_stream_advance():
+    s = cornell_state()
+    a = np.asarray(T.step(s).img)
+    b = np.asarray(T.step(s).img)
+    np.testing.assert_array_equal(a, b)  # same seed+nonce -> identical
+    c = np.asarray(T.step(T.step(s)).img)
+    assert not np.array_equal(a, c)      # advanced nonce -> new noise
+
+
+def test_accumulation_reduces_variance():
+    s = cornell_state()
+    one = np.asarray(T.sample_n_frames(s, 2))
+    many = np.asarray(T.sample_n_frames(s, 64))
+    assert many.std() < one.std()
+
+
+def test_accumulation_ema_semantics():
+    """step's accumulation uses the pre-increment count and so discards
+    the first frame (lib.fut:111-118 + integrator.fut:190-192)."""
+    s = cornell_state(8, 8)
+    s = s.replace(mode=jnp.asarray(True))
+    s1 = T.step(s)             # fresh, n_frames=1
+    s2 = T.step(s1)            # accum with n=1: img == frame2 exactly
+    assert int(s2.n_frames) == 2
+    # frame 2 rendered standalone from the same nonce
+    lone = T.step(s.replace(nonce=s1.nonce))
+    np.testing.assert_allclose(np.asarray(s2.img), np.asarray(lone.img),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_lidar_points_window():
+    s = cornell_state(16, 16, conf=2)
+    s2, pts = T.sample_points_n(s, 8)
+    pts = np.asarray(pts)
+    assert pts.shape == (16, 16, 4)
+    inten = pts[..., 3]
+    hit = inten > 0
+    assert hit.any()
+    # all reported returns lie inside the [0.5, 10) distance window from
+    # the camera origin (lib.fut:40-47)
+    dist = np.linalg.norm(pts[..., :3] - np.array([0, 0.8, 1.8]), axis=-1)
+    assert (dist[hit] > 0.4).all() and (dist[hit] < 10.1).all()
+    # misses encoded as (-1,-1,-1, 0)
+    assert (pts[~hit][:, :3] == -1).all()
+    assert int(s2.nonce) == int(s.nonce) + 8
+
+
+def test_lidar_render_mode():
+    s = cornell_state(16, 16, conf=2)
+    s = T.step(s)
+    img = np.asarray(s.img)
+    assert np.isfinite(img).all()
+    assert img.max() <= 1.0 + 1e-6  # hue colors are in [0,1]
+
+
+def test_pcd_writer(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(4, 4, 4)).astype(np.float32)
+    p = tmp_path / "t.pcd"
+    write_pcd(str(p), pts)
+    txt = p.read_text().splitlines()
+    assert txt[2] == "FIELDS x y z intensity"
+    assert txt[9] == "POINTS 16"
+    assert len(txt) == 11 + 16
+
+
+def test_render_packs_argb():
+    s = cornell_state(8, 8)
+    s = s.replace(img=jnp.full((8, 8, 3), 0.5, jnp.float32))
+    fb = np.asarray(T.render(s))
+    assert fb.dtype == np.uint32 and fb.shape == (8, 8)
+    rgb = argb_to_rgb(fb)
+    assert (rgb == 127).all()
+    assert ((fb >> 24) == 255).all()
+    # clamping
+    s = s.replace(img=jnp.full((8, 8, 3), 7.0, jnp.float32))
+    assert (argb_to_rgb(np.asarray(T.render(s))) == 255).all()
+
+
+def test_key_state_machine():
+    s = cornell_state(8, 8)
+    # subsampling up/down (lib.fut:123-128)
+    s2 = T.key(keys.KEYDOWN, keys.SDLK_2, s)
+    assert s2.subsampling == 2 and int(s2.n_frames) == 0
+    s3 = T.key(keys.KEYDOWN, keys.SDLK_1, s2)
+    assert s3.subsampling == 1
+    assert T.key(keys.KEYDOWN, keys.SDLK_1, s3).subsampling == 1  # floor 1
+    # movement resets accumulation and moves the camera
+    s4 = T.key(keys.KEYDOWN, keys.SDLK_w, s.replace(n_frames=jnp.uint32(5)))
+    assert int(s4.n_frames) == 0
+    assert not np.allclose(np.asarray(s4.cam.origin), np.asarray(s.cam.origin))
+    # key-up events ignored
+    s5 = T.key(keys.KEYUP, keys.SDLK_w, s)
+    assert np.allclose(np.asarray(s5.cam.origin), np.asarray(s.cam.origin))
+    # mode toggles
+    assert bool(T.key(keys.KEYDOWN, keys.SDLK_SPACE, s).mode)
+    assert bool(T.key(keys.KEYDOWN, keys.SDLK_m, s).mode)
+    assert not bool(T.key(keys.KEYDOWN, keys.SDLK_n,
+                          s.replace(mode=jnp.asarray(True))).mode)
+    # aperture clamp [0, 2], no accumulation reset (lib.fut:156-161)
+    s6 = s.replace(n_frames=jnp.uint32(3))
+    for _ in range(30):
+        s6 = T.key(keys.KEYDOWN, keys.SDLK_i, s6)
+    assert float(s6.cam.conf.aperture) <= 2.0 + 1e-6
+    assert int(s6.n_frames) == 3
+    # focal floor 0.1
+    s7 = s
+    for _ in range(40):
+        s7 = T.key(keys.KEYDOWN, keys.SDLK_l, s7)
+    assert float(s7.cam.conf.focal_dist) >= 0.1 - 1e-6
+    # sensor cycle 0 -> 1 -> 2 -> 0 (lib.fut:168-179)
+    s8 = T.key(keys.KEYDOWN, keys.SDLK_t, s)
+    assert s8.cam_conf_id == 1 and s8.render_mode == "color"
+    s9 = T.key(keys.KEYDOWN, keys.SDLK_t, s8)
+    assert s9.cam_conf_id == 2 and s9.render_mode == "distance"
+    s10 = T.key(keys.KEYDOWN, keys.SDLK_t, s9)
+    assert s10.cam_conf_id == 0
+    # sky toggle (lib.fut:180-183)
+    s11 = T.key(keys.KEYDOWN, keys.SDLK_p, s)
+    assert float(s11.ambience[0, 1]) > 0
+    s12 = T.key(keys.KEYDOWN, keys.SDLK_p, s11)
+    assert float(s12.ambience[0, 1]) == 0
+    # pitch clamp
+    s13 = s
+    for _ in range(40):
+        s13 = T.key(keys.KEYDOWN, keys.SDLK_UP, s13)
+    assert abs(float(s13.cam.pitch)) <= np.pi / 2 + 1e-6
+
+
+def test_resize():
+    s = cornell_state(16, 16)
+    s2 = T.resize(24, 20, s)
+    assert (s2.height, s2.width) == (24, 20)
+    assert not bool(s2.mode)
+    s3 = T.step(s2)
+    assert s3.img.shape == (24, 20, 3)
+    assert np.asarray(T.render(s3)).shape == (24, 20)
+
+
+def test_subsampled_step_and_render():
+    s = cornell_state(16, 16)
+    s = T.key(keys.KEYDOWN, keys.SDLK_2, s)  # subsampling 2
+    s = T.step(s)
+    assert s.img.shape == (8, 8, 3)
+    fb = np.asarray(T.render(s))
+    assert fb.shape == (16, 16)
+    # nearest-neighbour: 2x2 blocks identical
+    assert (fb[::2, ::2] == fb[1::2, 1::2]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """The whole engine state is a pytree: flatten -> savez -> restore."""
+    import jax
+    s = T.step(cornell_state(8, 8))
+    leaves, treedef = jax.tree.flatten(s)
+    np.savez(tmp_path / "ckpt.npz", *[np.asarray(l) for l in leaves])
+    loaded = np.load(tmp_path / "ckpt.npz")
+    restored = jax.tree.unflatten(
+        treedef, [jnp.asarray(loaded[k]) for k in loaded.files])
+    s2 = T.step(s)
+    s2r = T.step(restored)
+    np.testing.assert_array_equal(np.asarray(s2.img), np.asarray(s2r.img))

@@ -1,0 +1,56 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: tile sharding
+must be bit-identical to single-chip; sample sharding must average."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tracer_tpu as T
+from tracer_tpu.engine import integrator
+from tracer_tpu.parallel import render as par
+from tracer_tpu.utils import testscenes
+
+
+def cornell_state(h=32, w=32):
+    tris, tm, mats = testscenes.cornell_like()
+    return T.init(0, h, w, 0, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 virtual devices")
+
+
+@needs8
+def test_tile_sharding_bit_identical():
+    s = cornell_state(32, 32)
+    mesh = par.make_mesh(8, 1)
+    sharded = par.step_sharded(s, mesh)
+    single = T.step(s)
+    np.testing.assert_allclose(np.asarray(sharded.img),
+                               np.asarray(single.img), rtol=1e-5, atol=1e-6)
+
+
+@needs8
+def test_sample_sharding_averages():
+    s = cornell_state(32, 32)
+    mesh = par.make_mesh(4, 2)
+    sharded = par.step_sharded(s, mesh)
+    # single-chip frames with the two replica nonces
+    w, h = s.sub_dims
+    frames = []
+    for si in range(2):
+        samples = integrator.sample_pixels(
+            s.seed, s.nonce * jnp.uint32(2) + jnp.uint32(si), s.scene,
+            s.cam, s.ambience, w, h, s.transmitter_kind)
+        frames.append(np.asarray(integrator.visualize(
+            samples, s.render_mode, s.cam.conf.sensor_color, w, h)))
+    want = (frames[0] + frames[1]) / 2
+    np.testing.assert_allclose(np.asarray(sharded.img), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+@needs8
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

@@ -135,8 +135,8 @@ def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
 
 
 def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
-                  ambience, w: int, h: int,
-                  transmitter_kind: str) -> FrameSamples:
+                  ambience, w: int, h: int, transmitter_kind: str,
+                  row0=0, full_h: int | None = None) -> FrameSamples:
     """One 1-spp wavefront over a w x h grid (sample_pixels,
     integrator.fut:103-116 + sample_pixel :78-101), N = w*h lanes in
     row-major order.
@@ -145,16 +145,26 @@ def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     (seed, nonce, lane id) — the counter-based analogue of the
     reference's per-frame split_rng (integrator.fut:109); the caller
     advances the nonce each frame.
+
+    row0/full_h support image-tile sharding (parallel/render.py): this
+    call renders rows [row0, row0+h) of a full_h-tall image, with lane
+    ids offset so every global pixel keeps its own stream.
     """
+    if full_h is None:
+        full_h = h
     n = w * h
     jj, ii = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
                           jnp.arange(h, dtype=jnp.float32))
+    ii = ii + jnp.asarray(row0, jnp.float32)
     # the reference flips i: y = h - i - 1 (integrator.fut:89)
-    ji = jnp.stack([jj.reshape(-1), (h - ii.reshape(-1) - 1.0)], axis=-1)
+    ji = jnp.stack([jj.reshape(-1), (full_h - ii.reshape(-1) - 1.0)],
+                   axis=-1)
 
-    state = prng.make_streams(seed, nonce, jnp.arange(n, dtype=jnp.uint32))
+    lane_ids = (jnp.arange(n, dtype=jnp.uint32)
+                + jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
+    state = prng.make_streams(seed, nonce, lane_ids)
     state, wavelen, channel = cam_mod.sample_wavelength(state, cam.conf)
-    wh = jnp.asarray([w, h], jnp.float32)
+    wh = jnp.asarray([w, full_h], jnp.float32)
     state, origin, d = cam_mod.sample_ray(state, cam, wh, ji)
 
     trans_tris = cam_mod.gen_transmitter_tris(cam, transmitter_kind, d)

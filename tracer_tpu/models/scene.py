@@ -66,8 +66,14 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
     tris_np: (T, 3, 3) f32; tri_mats_np: (T,) u32; mat_rows_np: (M, 28) f32.
     accel: "dense" | "lbvh" | "auto" (size-based choice).
     """
-    tris_np = np.asarray(tris_np, np.float32)
+    tris_np = np.asarray(tris_np, np.float32).reshape(-1, 3, 3)
+    tri_mats_np = np.asarray(tri_mats_np, np.int64)
+    mat_rows_np = np.asarray(mat_rows_np, np.float32).reshape(-1, 28)
     t = tris_np.shape[0]
+    # keep gather tables non-empty so empty scenes still trace (misses only)
+    mat_ix_padded = tri_mats_np if t > 0 else np.zeros((1,), np.int64)
+    if mat_rows_np.shape[0] == 0:
+        mat_rows_np = np.zeros((1, 28), np.float32)
     if accel == "auto":
         accel = "dense" if t <= DENSE_THRESHOLD else "lbvh"
     tris = jnp.asarray(tris_np)
@@ -79,7 +85,7 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
         raise ValueError(f"unknown accel {accel!r}")
     return Scene(
         tris=tris,
-        mat_ix=jnp.asarray(np.asarray(tri_mats_np, np.int64), jnp.int32),
+        mat_ix=jnp.asarray(mat_ix_padded, jnp.int32),
         materials=materials.parse_mats(mat_rows_np),
         lights=extract_lights(tris_np, tri_mats_np, mat_rows_np),
         accel=acc)

@@ -1,0 +1,93 @@
+"""Multi-chip rendering: mesh + shard_map tile/sample sharding.
+
+The reference is single-device (SURVEY.md section 2.4); the TPU-native
+scaling story is the direct analogue of its embarrassingly-parallel pixel
+loop: a 2-D device mesh with
+  "tile"    image rows sharded across chips (each chip owns a stripe;
+            zero cross-chip traffic for the framebuffer)
+  "sample"  independent 1-spp replicas of the whole frame, averaged with
+            a single psum over ICI (spp-parallelism / data parallelism)
+Scene, BVH and camera are replicated; the per-frame collective is one
+(rows/tiles, w, 3) pmean on the sample axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tracer_tpu.engine import integrator
+from tracer_tpu.engine.state import EngineState
+
+TILE_AXIS = "tile"
+SAMPLE_AXIS = "sample"
+
+
+def make_mesh(n_tile: int, n_sample: int = 1, devices=None) -> Mesh:
+    """Build a (tile, sample) mesh over the first n_tile*n_sample devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_tile * n_sample
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(n_tile, n_sample)
+    return Mesh(dev, (TILE_AXIS, SAMPLE_AXIS))
+
+
+def sharded_frame_fn(mesh: Mesh, w: int, h: int, transmitter_kind: str,
+                     render_mode: str):
+    """Build a function (seed, nonce, scene, cam, ambience) -> (h, w, 3)
+    image, tile-sharded over rows and sample-averaged over the mesh."""
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if h % n_tile != 0:
+        raise ValueError(f"image height {h} not divisible by tile axis "
+                         f"{n_tile}")
+    rows = h // n_tile
+
+    def body(seed, nonce, scene, cam, ambience):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        si = jax.lax.axis_index(SAMPLE_AXIS)
+        row0 = ti * rows
+        # distinct stream nonce per sample replica
+        nonce_local = nonce * jnp.uint32(n_sample) + si.astype(jnp.uint32)
+        samples = integrator.sample_pixels(
+            seed, nonce_local, scene, cam, ambience, w, rows,
+            transmitter_kind, row0=row0, full_h=h)
+        img = integrator.visualize(samples, render_mode,
+                                   cam.conf.sensor_color, w, rows)
+        # average the independent replicas over ICI
+        return jax.lax.pmean(img, SAMPLE_AXIS)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(TILE_AXIS),
+        check_rep=False)
+
+
+def step_sharded(s: EngineState, mesh: Mesh) -> EngineState:
+    """Full progressive step over the mesh — the multi-chip equivalent of
+    api.step: one sharded 1-spp frame (x sample-axis replicas), then the
+    same accumulation rule as the single-chip path."""
+    w, h = s.sub_dims
+    frame = sharded_frame_fn(mesh, w, h, s.transmitter_kind, s.render_mode)
+
+    @jax.jit
+    def run(s: EngineState) -> EngineState:
+        img_new = frame(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+        accum = s.mode & (s.n_frames > 0)
+        if s.render_mode == "distance":
+            merged = integrator.accumulate_distance(s.img, img_new)
+        else:
+            merged = integrator.accumulate_color(s.img, img_new, s.n_frames)
+        img = jnp.where(accum, merged, img_new)
+        n_frames = jnp.where(accum, s.n_frames + 1, jnp.uint32(1))
+        return s.replace(img=img, n_frames=n_frames, nonce=s.nonce + 1)
+
+    return run(s)
