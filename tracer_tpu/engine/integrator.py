@@ -184,7 +184,7 @@ def hue_to_rgb(hhue):
     """HSV->RGB at full saturation/value (integrator.fut:139-148)."""
     hp = hhue * 6.0
     x = 1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0)
-    k = jnp.floor(hp).astype(jnp.int32)
+    k = jnp.floor(hp).astype(jnp.int32)[..., None]
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     rgb = jnp.select(

@@ -121,10 +121,10 @@ def disk(p, normal, radius, n_sectors: int):
     a = 2.0 * math.pi / n_sectors
     c = la.cross(normal, jnp.broadcast_to(la.WORLD_UP, normal.shape))
     c_norm = la.norm(c)
-    degenerate = (c_norm == 0.0)[..., None]
-    right = jnp.where(degenerate,
-                      jnp.array([1.0, 0.0, 0.0], jnp.float32),
-                      c / jnp.where(degenerate, 1.0, c_norm)[..., None])
+    degenerate = c_norm == 0.0
+    safe = c / jnp.maximum(c_norm, 1e-30)[..., None]
+    right = jnp.where(degenerate[..., None],
+                      jnp.array([1.0, 0.0, 0.0], jnp.float32), safe)
     up = la.normalize(la.cross(right, normal))
 
     tris = []
