@@ -7,10 +7,12 @@ PBR Book 14.3 (direct.fut:106-122).
 
 TPU shape: the reference appends the transmitter to the light list per
 ray (integrator.fut:96, flagged by its own TODO as a strange pattern); we
-instead treat the transmitter as an explicit per-ray light-table extension:
-indices [0, L) gather the static scene table, [L, L+8) select the lane's
-own transmitter fan triangle. Everything is one fused select chain on the
-VPU; the two shadow queries per bounce batch into two any_hit calls.
+instead treat the transmitter as an explicit per-ray light-table
+extension: indices [0, L) fetch the packed static light table via a
+one-hot matmul (ops/tables.py, no device gather), [L, L+8) select the
+lane's own transmitter fan triangle. The light's emission spectrum is
+evaluated ONCE per lane at the hero wavelength; both MIS halves reuse it.
+The two shadow queries per bounce batch into two any_hit calls.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from tracer_tpu.models import camera as cam_mod
 from tracer_tpu.models import lights as lights_mod
 from tracer_tpu.models import scene as scene_mod
 from tracer_tpu.ops import linalg as la
-from tracer_tpu.ops import materials, shapes
+from tracer_tpu.ops import materials, shapes, tables
 from tracer_tpu.ops import rng as prng
 from tracer_tpu.ops import spectrum as spec
 
@@ -32,20 +34,21 @@ OCCLUSION_EPS = 0.01  # direct.fut:11
 
 
 class LaneLights(NamedTuple):
-    """The one light each lane selected: per-lane kind/geometry/emission."""
-    kind: jax.Array      # (N,) int32
-    tri: jax.Array       # (N, 3, 3)
-    theta: jax.Array     # (N,)
-    emission: jax.Array  # (N, 6, 2)
+    """The one light each lane selected, with its emission already
+    evaluated at the lane's hero wavelength."""
+    kind: jax.Array    # (N,) f32 (lights_mod.KIND_* as float)
+    tri: jax.Array     # (N, 3, 3)
+    theta: jax.Array   # (N,)
+    em_val: jax.Array  # (N,) emission at the hero wavelength
 
 
 def select_lane_light(state, scene: scene_mod.Scene,
                       trans_tris: Optional[jax.Array],
                       transmitter_kind: str,
-                      trans_theta, trans_emission, n_rays: int):
+                      trans_theta, trans_emission, wavelen, n_rays: int):
     """Uniformly pick one light per lane from scene lights + transmitter
-    fan (random_select, direct.fut:118). Returns (state, LaneLights, n_lights)
-    or (state, None, 0) when there are no lights at all."""
+    fan (random_select, direct.fut:118). Returns (state, LaneLights,
+    n_lights) or (state, None, 0) when there are no lights at all."""
     n_scene = scene.lights.count
     n_trans = 0 if trans_tris is None else trans_tris.shape[1]
     n_lights = n_scene + n_trans
@@ -56,33 +59,36 @@ def select_lane_light(state, scene: scene_mod.Scene,
 
     if n_scene > 0:
         si = jnp.clip(li, 0, n_scene - 1)
-        kind = scene.lights.kind[si]
-        tri = scene.lights.tri[si]
-        theta = scene.lights.theta[si]
-        emission = scene.lights.emission[si]
+        rows = tables.take_rows_t(scene.light_table, si)  # (23, N)
+        tri = jnp.stack([rows[0:3].T, rows[3:6].T, rows[6:9].T], axis=-2)
+        em_val = spec.lookup_pairs(
+            wavelen, [(rows[9 + 2 * k], rows[10 + 2 * k]) for k in range(6)])
+        theta = rows[21]
+        kind = rows[22]
     else:
-        kind = jnp.zeros((n_rays,), jnp.int32)
         tri = jnp.zeros((n_rays, 3, 3), jnp.float32)
+        em_val = jnp.zeros((n_rays,), jnp.float32)
         theta = jnp.zeros((n_rays,), jnp.float32)
-        emission = jnp.zeros((n_rays, 6, 2), jnp.float32)
+        kind = jnp.zeros((n_rays,), jnp.float32)
 
     if n_trans > 0:
         ti = jnp.clip(li - n_scene, 0, n_trans - 1)
         t_tri = jnp.take_along_axis(
             trans_tris, ti[:, None, None, None], axis=1)[:, 0]
-        t_kind = (lights_mod.KIND_FRUSTUM_AREA
-                  if transmitter_kind == cam_mod.TRANSMITTER_SCANNING
-                  else lights_mod.KIND_DIFFUSE_AREA)
+        t_kind = float(lights_mod.KIND_FRUSTUM_AREA
+                       if transmitter_kind == cam_mod.TRANSMITTER_SCANNING
+                       else lights_mod.KIND_DIFFUSE_AREA)
+        t_em = spec.lookup_pairs(
+            wavelen, [(trans_emission[k, 0], trans_emission[k, 1])
+                      for k in range(6)])
         is_t = li >= n_scene
         kind = jnp.where(is_t, t_kind, kind)
         tri = jnp.where(is_t[:, None, None], t_tri, tri)
         theta = jnp.where(is_t, trans_theta, theta)
-        emission = jnp.where(is_t[:, None, None],
-                             jnp.broadcast_to(trans_emission, (n_rays, 6, 2)),
-                             emission)
+        em_val = jnp.where(is_t, t_em, em_val)
 
     return state, LaneLights(kind=kind, tri=tri, theta=theta,
-                             emission=emission), n_lights
+                             em_val=em_val), n_lights
 
 
 def occluded(scene, hit_pos, hit_normal, lightp):
@@ -101,9 +107,25 @@ def balance(pdf_f, pdf_g):
     return pdf_f / (pdf_f + pdf_g)
 
 
+def incident_radiance(light: LaneLights, hitp, lightp):
+    """arealight_incident_radiance (light.fut:19-55) with the spectrum
+    value precomputed; per-lane kind dispatch."""
+    v = lightp - hitp
+    wi = la.normalize(v, eps=1e-30)
+    dist_sq = jnp.maximum(la.quadrance(v), 1e-30)
+    lnormal = shapes.triangle_normal(light.tri)
+    cos_theta_l = la.dot(-wi, lnormal)
+    diffuse = jnp.maximum(0.0, light.em_val * cos_theta_l / dist_sq)
+    inside = jnp.arccos(jnp.clip(cos_theta_l, -1.0, 1.0)) <= light.theta
+    frustum = jnp.where(inside, light.em_val / dist_sq, 0.0)
+    point = light.em_val / dist_sq
+    return jnp.where(light.kind == lights_mod.KIND_FRUSTUM_AREA, frustum,
+                     jnp.where(light.kind == lights_mod.KIND_POINT, point,
+                               diffuse))
+
+
 def estimate_direct(state, scene: scene_mod.Scene, wo,
-                    inter: scene_mod.Interaction, light: LaneLights,
-                    wavelen):
+                    inter: scene_mod.Interaction, light: LaneLights):
     """MIS light-sample + BSDF-sample estimate toward each lane's light
     (estimate_direct, direct.fut:63-103). Returns (state, radiance (N,))."""
     is_point = light.kind == lights_mod.KIND_POINT
@@ -119,12 +141,7 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     lightp = jnp.where(is_point[:, None], a, p_area)
     wi_l = la.normalize(lightp - inter.pos, eps=1e-30)
 
-    point_rad = (spec.lookup(wavelen, light.emission)
-                 / jnp.maximum(la.quadrance(lightp - inter.pos), 1e-30))
-    area_rad = lights_mod.area_incident_radiance(
-        light.kind, light.tri, light.theta, light.emission,
-        inter.pos, lightp, wavelen)
-    in_radiance = jnp.where(is_point, point_rad, area_rad)
+    in_radiance = incident_radiance(light, inter.pos, lightp)
     light_pdf = jnp.where(is_point, 1.0, inv_area)
 
     occ = occluded(scene, inter.pos, inter.normal, lightp)
@@ -146,9 +163,7 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     hit_ok, _, lh_pos, _ = shapes.hit_triangle(
         shapes.F32_HIGHEST, o_b, d_b, light.tri)
     occ_b = occluded(scene, inter.pos, inter.normal, lh_pos)
-    in_rad_b = lights_mod.area_incident_radiance(
-        light.kind, light.tri, light.theta, light.emission,
-        inter.pos, lh_pos, wavelen)
+    in_rad_b = incident_radiance(light, inter.pos, lh_pos)
     f_b = bsdf_b * jnp.abs(la.dot(wi_b, inter.normal))
     weight_b = balance(pdf_b, inv_area)
     contrib = jnp.where(
@@ -170,9 +185,8 @@ def direct_radiance(state, scene: scene_mod.Scene, wo,
     n_rays = wo.shape[0]
     state, light, n_lights = select_lane_light(
         state, scene, trans_tris, transmitter_kind, trans_theta,
-        trans_emission, n_rays)
+        trans_emission, wavelen, n_rays)
     if light is None:
         return state, jnp.zeros((n_rays,), jnp.float32)
-    state, radiance = estimate_direct(state, scene, wo, inter, light,
-                                      wavelen)
+    state, radiance = estimate_direct(state, scene, wo, inter, light)
     return state, radiance * jnp.float32(n_lights)

@@ -98,8 +98,7 @@ def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
         rng, direct = direct_mod.direct_radiance(
             c["rng"], scene, wo, inter, wavelen, trans_tris,
             transmitter_kind, trans_theta, trans_emission)
-        emitted = jnp.where(c["i"] == 0,
-                            spec.lookup(wavelen, inter.emission), 0.0)
+        emitted = jnp.where(c["i"] == 0, inter.emission_at_wl, 0.0)
         radiance = direct + emitted
         cum_dist = jnp.where(hit, c["cum_dist"] + inter.t, c["cum_dist"])
         dist = dist.at[:, c["i"]].set(
@@ -203,7 +202,11 @@ def visualize_color(samples: FrameSamples, channel_colors, w: int, h: int):
     scaled by the channel count (integrator.fut:163-168)."""
     n_channels = channel_colors.shape[0]
     intensity = jnp.sum(samples.path.radiance, axis=-1)  # (N,)
-    color = channel_colors[samples.channel]              # (N, 3)
+    # channel -> color via a static select chain (C <= 3), not a gather
+    color = jnp.zeros(intensity.shape + (3,), jnp.float32)
+    for c in range(n_channels):
+        color = jnp.where((samples.channel == c)[:, None],
+                          channel_colors[c], color)
     img = la.scale(intensity, color) * jnp.float32(n_channels)
     return img.reshape(h, w, 3)
 

@@ -96,8 +96,12 @@ def sample_wavelength(state, conf: CameraConfig):
     n_channels = conf.sensor_mu.shape[0]
     state, channel = prng.select(state, n_channels)
     state, p = prng.next_unit(state)
-    mu = conf.sensor_mu[channel]
-    sigma = conf.sensor_sigma[channel]
+    # channel -> (mu, sigma) via a static select chain (C <= 3), no gather
+    mu = jnp.full(channel.shape, conf.sensor_mu[0], jnp.float32)
+    sigma = jnp.full(channel.shape, conf.sensor_sigma[0], jnp.float32)
+    for c in range(1, n_channels):
+        mu = jnp.where(channel == c, conf.sensor_mu[c], mu)
+        sigma = jnp.where(channel == c, conf.sensor_sigma[c], sigma)
     wavelen = mu + sigma * ndtri(jnp.maximum(p, 1e-12))
     return state, wavelen, channel
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from tracer_tpu.models import lights as lights_mod
 from tracer_tpu.ops import bvh as bvh_mod
-from tracer_tpu.ops import intersect, materials
+from tracer_tpu.ops import intersect, materials, tables
 
 Accel = Union[intersect.DenseTris, bvh_mod.LBVH]
 
@@ -32,9 +32,11 @@ DENSE_THRESHOLD = 4096
 
 class Scene(NamedTuple):
     tris: jax.Array              # (T, 3, 3)
-    mat_ix: jax.Array            # (T,) int32
+    mat_ix: jax.Array            # (max(T,1),) int32
     materials: materials.MaterialTable
+    tri_mat_rows: jax.Array      # (max(T,1), 28) material row per triangle
     lights: lights_mod.Lights    # emissive triangles (scene.fut:58-66)
+    light_table: jax.Array       # (L, 23) packed [tri 9 | emission 12 | theta | kind]
     accel: Accel
 
 
@@ -83,12 +85,30 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
         acc = bvh_mod.build(tris)
     else:
         raise ValueError(f"unknown accel {accel!r}")
+    lights = extract_lights(tris_np, tri_mats_np, mat_rows_np)
     return Scene(
         tris=tris,
         mat_ix=jnp.asarray(mat_ix_padded, jnp.int32),
         materials=materials.parse_mats(mat_rows_np),
-        lights=extract_lights(tris_np, tri_mats_np, mat_rows_np),
+        tri_mat_rows=jnp.asarray(mat_rows_np[mat_ix_padded]),
+        lights=lights,
+        light_table=pack_light_table(lights),
         accel=acc)
+
+
+def pack_light_table(lights: lights_mod.Lights) -> jax.Array:
+    """Pack the light SoA into one (L, 23) f32 table so per-lane light
+    selection is a single one-hot matmul row fetch:
+    columns [tri(9) | emission knots(12) | theta | kind]."""
+    l = lights.count
+    if l == 0:
+        return jnp.zeros((0, 23), jnp.float32)
+    return jnp.concatenate([
+        lights.tri.reshape(l, 9),
+        lights.emission.reshape(l, 12),
+        lights.theta[:, None],
+        lights.kind.astype(jnp.float32)[:, None],
+    ], axis=1)
 
 
 def closest_hit(scene: Scene, tmax, origin, d):
@@ -111,17 +131,18 @@ class Interaction(NamedTuple):
     t: jax.Array        # (N,)
     pos: jax.Array      # (N, 3)
     normal: jax.Array   # (N, 3)
-    mat_ix: jax.Array   # (N,) int32 (clamped to 0 on miss)
     mat: materials.MaterialLanes
-    emission: jax.Array  # (N, 6, 2) material emission spectra
+    emission_at_wl: jax.Array  # (N,) emission spectrum at the hero wavelength
 
 
 def closest_interaction(scene: Scene, tmax, origin, d, wavelen) -> Interaction:
-    """closest_hit + material gather at the hero wavelength
-    (closest_interaction, scene.fut:68-73)."""
+    """closest_hit + per-triangle material row fetch evaluated at the hero
+    wavelength (closest_interaction, scene.fut:68-73). The row fetch is a
+    one-hot matmul over the precomputed per-triangle 28-float rows
+    (ops/tables.py) — no device gather on the hot path."""
     ok, t, tri_idx, pos, normal = closest_hit(scene, tmax, origin, d)
-    mat_ix = scene.mat_ix[jnp.where(ok, jnp.maximum(tri_idx, 0), 0)]
-    mat = materials.at_wavelength(scene.materials, mat_ix, wavelen)
-    emission = scene.materials.emission[mat_ix]
-    return Interaction(ok=ok, t=t, pos=pos, normal=normal, mat_ix=mat_ix,
-                       mat=mat, emission=emission)
+    safe_idx = jnp.where(ok, jnp.maximum(tri_idx, 0), 0)
+    rows_t = tables.take_rows_t(scene.tri_mat_rows, safe_idx)  # (28, N)
+    mat, emission = materials.at_wavelength_rows(rows_t, wavelen)
+    return Interaction(ok=ok, t=t, pos=pos, normal=normal, mat=mat,
+                       emission_at_wl=emission)

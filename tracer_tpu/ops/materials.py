@@ -96,6 +96,29 @@ def at_wavelength(table: MaterialTable, mat_ix, wavelen) -> MaterialLanes:
     )
 
 
+def at_wavelength_rows(rows_t, wavelen):
+    """Evaluate materials from transposed 28-float rows (28, N) — the
+    hot-path variant fed by a one-hot matmul row lookup (ops/tables.py)
+    instead of a device gather.
+
+    Returns (MaterialLanes, emission_value (N,)): both the reflectance
+    color and the emission spectrum evaluated at the hero wavelength
+    (material_at_wavelen material.fut:32-42 + the emission lookup the
+    integrator performs at the first bounce, integrator.fut:52)."""
+    color = spec.lookup_pairs(
+        wavelen, [(rows_t[2 * k], rows_t[2 * k + 1]) for k in range(6)])
+    emission = spec.lookup_pairs(
+        wavelen, [(rows_t[16 + 2 * k], rows_t[17 + 2 * k]) for k in range(6)])
+    lanes = MaterialLanes(
+        color=color,
+        roughness=rows_t[12],
+        metalness=rows_t[13],
+        ref_ix=rows_t[14] - (wavelen - 589.0) / 10000.0,
+        opacity=rows_t[15],
+    )
+    return lanes, emission
+
+
 # ---------------------------------------------------------------------------
 # Local frame
 

@@ -18,6 +18,44 @@ BLUE_WAVELEN = 460.0
 N_KNOTS = 6
 
 
+def lookup_pairs(v, pairs):
+    """Core lookup over an explicit knot list [(w_k, x_k), ...].
+
+    A direct vectorization of the reference's sequential knot scan
+    (spectrum.fut:30-49): the 6-iteration loop unrolls to ~50 fused
+    elementwise VPU ops per lane — no gathers, no argmax, and no
+    reductions over a size-6 lane axis (which cost ~20ms per call on a
+    v5e in the naive (N, 6, 2) formulation).
+
+    Initial bounds (-1, inf) with strict comparisons reproduce the
+    sentinel semantics: knots at exactly -1 never match, ties keep the
+    first knot in storage order.
+    """
+    v = jnp.asarray(v, jnp.float32)
+    w_below = jnp.full_like(v, -1.0)
+    x_below = jnp.zeros_like(v)
+    w_above = jnp.full_like(v, jnp.inf)
+    x_above = jnp.zeros_like(v)
+    for wk, xk in pairs:
+        wk = jnp.asarray(wk, jnp.float32)
+        xk = jnp.asarray(xk, jnp.float32)
+        cb = (wk > w_below) & (wk <= v)
+        w_below = jnp.where(cb, wk, w_below)
+        x_below = jnp.where(cb, xk, x_below)
+        ca = (wk < w_above) & (wk > v)
+        w_above = jnp.where(ca, wk, w_above)
+        x_above = jnp.where(ca, xk, x_above)
+
+    has_below = w_below >= 0.0
+    has_above = jnp.isfinite(w_above)
+    t = (v - w_below) / (w_above - w_below)
+    interp = x_below + t * (x_above - x_below)
+    return jnp.where(
+        has_below & has_above, interp,
+        jnp.where(has_below, x_below,
+                  jnp.where(has_above, x_above, jnp.float32(0.0))))
+
+
 def lookup(v, s):
     """Linearly interpolate spectrum s at wavelength(s) v.
 
@@ -26,37 +64,9 @@ def lookup(v, s):
     above (w > v); 0 if no knots qualify at all, clamp to the single
     neighbour at the ends, ties keep the first knot in storage order.
     """
-    v = jnp.asarray(v, jnp.float32)
-    w = s[..., 0]
-    x = s[..., 1]
-    vb = v[..., None]
-
-    # The reference's initial lower bound is w_below = -1 and the update
-    # requires w > w_below, so knots at exactly -1 (sentinels) never count.
-    below_mask = (w <= vb) & (w > -1.0)
-    w_below_cand = jnp.where(below_mask, w, -jnp.inf)
-    i_below = jnp.argmax(w_below_cand, axis=-1)
-    has_below = jnp.any(below_mask, axis=-1)
-
-    # Symmetrically, the initial upper bound is +inf with a strict <, so a
-    # hypothetical +inf knot never counts.
-    above_mask = (w > vb) & jnp.isfinite(w)
-    w_above_cand = jnp.where(above_mask, w, jnp.inf)
-    i_above = jnp.argmin(w_above_cand, axis=-1)
-    has_above = jnp.any(above_mask, axis=-1)
-
-    w_below = jnp.take_along_axis(w, i_below[..., None], axis=-1)[..., 0]
-    x_below = jnp.take_along_axis(x, i_below[..., None], axis=-1)[..., 0]
-    w_above = jnp.take_along_axis(w, i_above[..., None], axis=-1)[..., 0]
-    x_above = jnp.take_along_axis(x, i_above[..., None], axis=-1)[..., 0]
-
-    t = (v - w_below) / (w_above - w_below)
-    interp = x_below + t * (x_above - x_below)
-
-    return jnp.where(
-        has_below & has_above, interp,
-        jnp.where(has_below, x_below,
-                  jnp.where(has_above, x_above, jnp.float32(0.0))))
+    s = jnp.asarray(s, jnp.float32)
+    pairs = [(s[..., k, 0], s[..., k, 1]) for k in range(s.shape[-2])]
+    return lookup_pairs(v, pairs)
 
 
 def uniform_spectrum(intensity: float) -> np.ndarray:
