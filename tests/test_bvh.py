@@ -4,7 +4,7 @@ brute-force dense oracle (the fake-BVH pattern from reference bvh.fut:25-43)."""
 import numpy as np
 import jax.numpy as jnp
 
-from tracer_tpu.ops import bvh, intersect, morton, radix_tree, shapes
+from tracer_tpu.ops import bvh, intersect, linalg as la, morton, radix_tree, shapes
 
 
 def random_tris(rng_np, t, scale=3.0, size=0.5):
@@ -92,7 +92,8 @@ def test_lbvh_matches_dense_oracle(rng_np):
         dense = intersect.build_dense(tris)
         o, d = random_rays(rng_np, 257)
         ok_b, t_b, i_b, _, _ = bvh.closest_hit(b, 1e30, o, d)
-        ok_d, t_d, i_d, _, _ = intersect.closest_hit(dense, 1e30, o, d)
+        ok_d, t_d, i_d, _, _ = intersect.closest_hit(
+            dense, 1e30, la.v3_from_array(o), la.v3_from_array(d))
         np.testing.assert_array_equal(np.asarray(ok_b), np.asarray(ok_d))
         hit = np.asarray(ok_b)
         np.testing.assert_allclose(np.asarray(t_b)[hit], np.asarray(t_d)[hit],
@@ -110,7 +111,8 @@ def test_lbvh_any_hit_matches_dense(rng_np):
     o, d = random_rays(rng_np, 129)
     for tm in [1e30, 3.0]:
         got = np.asarray(bvh.any_hit(b, tm, o, d))
-        want = np.asarray(intersect.any_hit(dense, tm, o, d))
+        want = np.asarray(intersect.any_hit(
+            dense, tm, la.v3_from_array(o), la.v3_from_array(d)))
         np.testing.assert_array_equal(got, want)
 
 

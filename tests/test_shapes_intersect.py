@@ -4,7 +4,7 @@ MXU matmul intersector cross-checked against the broadcast oracle."""
 import numpy as np
 import jax.numpy as jnp
 
-from tracer_tpu.ops import intersect, shapes
+from tracer_tpu.ops import intersect, linalg as la, shapes
 
 
 def random_scene(rng_np, t=37, scale=3.0):
@@ -54,7 +54,8 @@ def test_dense_matches_bruteforce(rng_np):
     tris = random_scene(rng_np, t=37)
     o, d = random_rays(rng_np, n=65)
     dense = intersect.build_dense(tris)
-    ok, t, idx, pos, normal = intersect.closest_hit(dense, 1e30, o, d)
+    ok, t, idx, pos, normal = intersect.closest_hit(
+        dense, 1e30, la.v3_from_array(o), la.v3_from_array(d))
     ok_b, t_b, idx_b = intersect.closest_hit_bruteforce(tris, 1e30, o, d)
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_b))
     hit = np.asarray(ok)
@@ -69,8 +70,9 @@ def test_dense_chunked_matches_unchunked(rng_np):
     tris = random_scene(rng_np, t=300)
     o, d = random_rays(rng_np, n=33)
     dense = intersect.build_dense(tris)
-    ok1, t1, i1, _, _ = intersect.closest_hit(dense, 1e30, o, d, chunk=128)
-    ok2, t2, i2, _, _ = intersect.closest_hit(dense, 1e30, o, d, chunk=4096)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    ok1, t1, i1, _, _ = intersect.closest_hit(dense, 1e30, ov, dv, chunk=128)
+    ok2, t2, i2, _, _ = intersect.closest_hit(dense, 1e30, ov, dv, chunk=4096)
     np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
     np.testing.assert_allclose(np.asarray(t1)[np.asarray(ok1)],
                                np.asarray(t2)[np.asarray(ok2)], rtol=1e-5)
@@ -80,9 +82,10 @@ def test_any_hit_matches_closest(rng_np):
     tris = random_scene(rng_np, t=37)
     o, d = random_rays(rng_np, n=65)
     dense = intersect.build_dense(tris)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
     for tmax in [1e30, 2.5, 0.5]:
-        ok, t, _, _, _ = intersect.closest_hit(dense, tmax, o, d)
-        anyh = intersect.any_hit(dense, tmax, o, d)
+        ok, t, _, _, _ = intersect.closest_hit(dense, tmax, ov, dv)
+        anyh = intersect.any_hit(dense, tmax, ov, dv)
         # any_hit true iff closest hit exists (matmul t vs elementwise t can
         # flicker at the exact tmax boundary; tolerate none here)
         np.testing.assert_array_equal(np.asarray(anyh), np.asarray(ok))
@@ -92,9 +95,10 @@ def test_per_ray_tmax(rng_np):
     tris = random_scene(rng_np, t=16)
     o, d = random_rays(rng_np, n=8)
     dense = intersect.build_dense(tris)
-    ok_far, t_far, _, _, _ = intersect.closest_hit(dense, 1e30, o, d)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    ok_far, t_far, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
     tmaxes = jnp.where(jnp.isfinite(t_far), t_far * 0.5, 1.0)
-    anyh = intersect.any_hit(dense, tmaxes, o, d)
+    anyh = intersect.any_hit(dense, tmaxes, ov, dv)
     # with tmax below the closest hit, any_hit can still be true only if
     # another triangle lies closer -- impossible since t_far is the min
     assert not np.any(np.asarray(anyh) & np.asarray(ok_far))
@@ -104,5 +108,6 @@ def test_degenerate_triangles_never_hit(rng_np):
     tris = np.zeros((5, 3, 3), np.float32)  # all degenerate
     o, d = random_rays(rng_np, n=16)
     dense = intersect.build_dense(jnp.asarray(tris))
-    ok, _, _, _, _ = intersect.closest_hit(dense, 1e30, o, d)
+    ok, _, _, _, _ = intersect.closest_hit(
+        dense, 1e30, la.v3_from_array(o), la.v3_from_array(d))
     assert not np.any(np.asarray(ok))

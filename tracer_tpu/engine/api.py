@@ -236,15 +236,15 @@ def _sample_points_core(s: EngineState, spp: int):
         p2, d2, i2 = one(k)
         # keep the previous return only when strictly closer (lib.fut:48-51)
         keep = dist < d2
-        return (jnp.where(keep[:, None], pos, p2),
+        return (jnp.where(keep, pos, p2),
                 jnp.where(keep, dist, d2),
                 jnp.where(keep, inten, i2))
 
-    init = (jnp.full((n, 3), -1.0, jnp.float32),
+    init = (jnp.full((3, n), -1.0, jnp.float32),
             jnp.full((n,), jnp.inf, jnp.float32),
             jnp.zeros((n,), jnp.float32))
     pos, dist, inten = jax.lax.fori_loop(0, spp, body, init)
-    points = jnp.concatenate([pos, inten[:, None]], axis=-1)
+    points = jnp.concatenate([la.v3_to_array(pos), inten[:, None]], axis=-1)
     return s.replace(nonce=s.nonce + jnp.uint32(spp)), points.reshape(h, w, 4)
 
 

@@ -9,8 +9,9 @@ TPU shape: the reference appends the transmitter to the light list per
 ray (integrator.fut:96, flagged by its own TODO as a strange pattern); we
 instead treat the transmitter as an explicit per-ray light-table
 extension: indices [0, L) fetch the packed static light table via a
-one-hot matmul (ops/tables.py, no device gather), [L, L+8) select the
-lane's own transmitter fan triangle. The light's emission spectrum is
+one-hot matmul (ops/tables.py — its (23, N) rows ARE the V3 vertex
+blocks, zero relayout), [L, L+8) select the lane's own transmitter fan
+sector by a static where-chain. The light's emission spectrum is
 evaluated ONCE per lane at the hero wavelength; both MIS halves reuse it.
 The two shadow queries per bounce batch into two any_hit calls.
 """
@@ -35,22 +36,23 @@ OCCLUSION_EPS = 0.01  # direct.fut:11
 
 class LaneLights(NamedTuple):
     """The one light each lane selected, with its emission already
-    evaluated at the lane's hero wavelength."""
+    evaluated at the lane's hero wavelength. Vertices are V3 (3, N)."""
     kind: jax.Array    # (N,) f32 (lights_mod.KIND_* as float)
-    tri: jax.Array     # (N, 3, 3)
+    a: jax.Array       # (3, N)
+    b: jax.Array       # (3, N)
+    c: jax.Array       # (3, N)
     theta: jax.Array   # (N,)
-    em_val: jax.Array  # (N,) emission at the hero wavelength
+    em_val: jax.Array  # (N,)
 
 
 def select_lane_light(state, scene: scene_mod.Scene,
-                      trans_tris: Optional[jax.Array],
-                      transmitter_kind: str,
+                      trans_sectors, transmitter_kind: str,
                       trans_theta, trans_emission, wavelen, n_rays: int):
     """Uniformly pick one light per lane from scene lights + transmitter
     fan (random_select, direct.fut:118). Returns (state, LaneLights,
     n_lights) or (state, None, 0) when there are no lights at all."""
     n_scene = scene.lights.count
-    n_trans = 0 if trans_tris is None else trans_tris.shape[1]
+    n_trans = 0 if trans_sectors is None else len(trans_sectors)
     n_lights = n_scene + n_trans
     if n_lights == 0:
         return state, None, 0
@@ -60,21 +62,28 @@ def select_lane_light(state, scene: scene_mod.Scene,
     if n_scene > 0:
         si = jnp.clip(li, 0, n_scene - 1)
         rows = tables.take_rows_t(scene.light_table, si)  # (23, N)
-        tri = jnp.stack([rows[0:3].T, rows[3:6].T, rows[6:9].T], axis=-2)
+        va, vb, vc = rows[0:3], rows[3:6], rows[6:9]
         em_val = spec.lookup_pairs(
             wavelen, [(rows[9 + 2 * k], rows[10 + 2 * k]) for k in range(6)])
         theta = rows[21]
         kind = rows[22]
     else:
-        tri = jnp.zeros((n_rays, 3, 3), jnp.float32)
+        zero3 = jnp.zeros((3, n_rays), jnp.float32)
+        va, vb, vc = zero3, zero3, zero3
         em_val = jnp.zeros((n_rays,), jnp.float32)
         theta = jnp.zeros((n_rays,), jnp.float32)
         kind = jnp.zeros((n_rays,), jnp.float32)
 
     if n_trans > 0:
-        ti = jnp.clip(li - n_scene, 0, n_trans - 1)
-        t_tri = jnp.take_along_axis(
-            trans_tris, ti[:, None, None, None], axis=1)[:, 0]
+        ti = li - n_scene
+        # static where-chain over the 8 fan sectors — no gather
+        ta, tb, tc = trans_sectors[0]
+        for k in range(1, n_trans):
+            m = ti == k
+            sa, sb, sc = trans_sectors[k]
+            ta = jnp.where(m, sa, ta)
+            tb = jnp.where(m, sb, tb)
+            tc = jnp.where(m, sc, tc)
         t_kind = float(lights_mod.KIND_FRUSTUM_AREA
                        if transmitter_kind == cam_mod.TRANSMITTER_SCANNING
                        else lights_mod.KIND_DIFFUSE_AREA)
@@ -83,21 +92,23 @@ def select_lane_light(state, scene: scene_mod.Scene,
                       for k in range(6)])
         is_t = li >= n_scene
         kind = jnp.where(is_t, t_kind, kind)
-        tri = jnp.where(is_t[:, None, None], t_tri, tri)
+        va = jnp.where(is_t, ta, va)
+        vb = jnp.where(is_t, tb, vb)
+        vc = jnp.where(is_t, tc, vc)
         theta = jnp.where(is_t, trans_theta, theta)
         em_val = jnp.where(is_t, t_em, em_val)
 
-    return state, LaneLights(kind=kind, tri=tri, theta=theta,
+    return state, LaneLights(kind=kind, a=va, b=vb, c=vc, theta=theta,
                              em_val=em_val), n_lights
 
 
 def occluded(scene, hit_pos, hit_normal, lightp):
     """Backface test + shadow ray (occluded, direct.fut:7-15)."""
     v = lightp - hit_pos
-    w = la.normalize(v, eps=1e-30)
-    backface = la.dot(w, hit_normal) <= 0
-    dist = la.norm(v)
-    o, d = shapes.mkray_adjust_acne(hit_pos, hit_normal, w)
+    w = la.v3_normalize(v, eps=1e-30)
+    backface = la.v3_dot(w, hit_normal) <= 0
+    dist = la.v3_norm(v)
+    o, d = shapes.mkray_adjust_acne_v(hit_pos, hit_normal, w)
     blocked = scene_mod.any_hit(scene, dist - OCCLUSION_EPS, o, d)
     return backface | blocked
 
@@ -111,10 +122,10 @@ def incident_radiance(light: LaneLights, hitp, lightp):
     """arealight_incident_radiance (light.fut:19-55) with the spectrum
     value precomputed; per-lane kind dispatch."""
     v = lightp - hitp
-    wi = la.normalize(v, eps=1e-30)
-    dist_sq = jnp.maximum(la.quadrance(v), 1e-30)
-    lnormal = shapes.triangle_normal(light.tri)
-    cos_theta_l = la.dot(-wi, lnormal)
+    wi = la.v3_normalize(v, eps=1e-30)
+    dist_sq = jnp.maximum(la.v3_quadrance(v), 1e-30)
+    lnormal = shapes.triangle_normal_v(light.a, light.b, light.c)
+    cos_theta_l = la.v3_dot(-wi, lnormal)
     diffuse = jnp.maximum(0.0, light.em_val * cos_theta_l / dist_sq)
     inside = jnp.arccos(jnp.clip(cos_theta_l, -1.0, 1.0)) <= light.theta
     frustum = jnp.where(inside, light.em_val / dist_sq, 0.0)
@@ -129,17 +140,16 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     """MIS light-sample + BSDF-sample estimate toward each lane's light
     (estimate_direct, direct.fut:63-103). Returns (state, radiance (N,))."""
     is_point = light.kind == lights_mod.KIND_POINT
-    a = light.tri[:, 0, :]
-    e1 = light.tri[:, 1, :] - a
-    e2 = light.tri[:, 2, :] - a
-    area = la.norm(la.cross(e1, e2)) * 0.5
+    e1 = light.b - light.a
+    e2 = light.c - light.a
+    area = la.v3_norm(la.v3_cross(e1, e2)) * 0.5
     inv_area = 1.0 / jnp.maximum(area, 1e-30)
 
     # --- light sampling (sample_light, direct.fut:24-53)
     state, (u, v) = prng.in_triangle(state)
-    p_area = a + la.scale(u, e1) + la.scale(v, e2)
-    lightp = jnp.where(is_point[:, None], a, p_area)
-    wi_l = la.normalize(lightp - inter.pos, eps=1e-30)
+    p_area = light.a + u * e1 + v * e2
+    lightp = jnp.where(is_point, light.a, p_area)
+    wi_l = la.v3_normalize(lightp - inter.pos, eps=1e-30)
 
     in_radiance = incident_radiance(light, inter.pos, lightp)
     light_pdf = jnp.where(is_point, 1.0, inv_area)
@@ -148,7 +158,7 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     in_radiance = jnp.where(occ, 0.0, in_radiance)
 
     f_l = (materials.bsdf_f(wo, wi_l, inter.normal, inter.mat)
-           * jnp.abs(la.dot(wi_l, inter.normal)))
+           * jnp.abs(la.v3_dot(wi_l, inter.normal)))
     scattering_pdf = materials.bsdf_pdf(wo, wi_l, inter.normal, inter.mat)
     weight_l = balance(light_pdf, scattering_pdf)
     light_part = jnp.where(
@@ -159,12 +169,12 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     # zero for point lights (a BSDF sample almost surely misses a point).
     state, wi_b, bsdf_b, pdf_b, kind_b = materials.sample_dir(
         state, wo, inter.normal, inter.mat)
-    o_b, d_b = shapes.mkray_adjust_acne(inter.pos, inter.normal, wi_b)
-    hit_ok, _, lh_pos, _ = shapes.hit_triangle(
-        shapes.F32_HIGHEST, o_b, d_b, light.tri)
+    o_b, d_b = shapes.mkray_adjust_acne_v(inter.pos, inter.normal, wi_b)
+    hit_ok, _, lh_pos, _ = shapes.hit_triangle_v(
+        shapes.F32_HIGHEST, o_b, d_b, light.a, light.b, light.c)
     occ_b = occluded(scene, inter.pos, inter.normal, lh_pos)
     in_rad_b = incident_radiance(light, inter.pos, lh_pos)
-    f_b = bsdf_b * jnp.abs(la.dot(wi_b, inter.normal))
+    f_b = bsdf_b * jnp.abs(la.v3_dot(wi_b, inter.normal))
     weight_b = balance(pdf_b, inv_area)
     contrib = jnp.where(
         kind_b == materials.PDF_DELTA, f_b * in_rad_b,
@@ -178,13 +188,13 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
 
 def direct_radiance(state, scene: scene_mod.Scene, wo,
                     inter: scene_mod.Interaction, wavelen,
-                    trans_tris: Optional[jax.Array],
-                    transmitter_kind: str, trans_theta, trans_emission):
+                    trans_sectors, transmitter_kind: str,
+                    trans_theta, trans_emission):
     """One-light estimate scaled by light count (direct_radiance,
     direct.fut:111-122). Returns (state, radiance (N,))."""
-    n_rays = wo.shape[0]
+    n_rays = wo.shape[-1]
     state, light, n_lights = select_lane_light(
-        state, scene, trans_tris, transmitter_kind, trans_theta,
+        state, scene, trans_sectors, transmitter_kind, trans_theta,
         trans_emission, wavelen, n_rays)
     if light is None:
         return state, jnp.zeros((n_rays,), jnp.float32)

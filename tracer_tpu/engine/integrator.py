@@ -9,6 +9,11 @@ across the entire pool, keeping the VPU/MXU dense; finished lanes are
 masked and the loop exits early once every lane is dead
 (SURVEY.md section 7.6).
 
+Layout: rays are V3 = (3, N) transposed vectors and per-bounce records
+are (PATH_LEN, N) — lanes always live on the minor axis, so per-bounce
+writes and per-path reductions are major-axis ops (see linalg.py V3
+notes for why this matters on TPU).
+
 Estimator semantics preserved exactly (SURVEY.md "estimator fidelity"):
 one hero wavelength + one channel per camera sample, emission added only
 at the first bounce, ambience on miss, unit-weight Russian roulette
@@ -40,15 +45,15 @@ LIDAR_MAX_D = 10.0
 
 
 class PathRecords(NamedTuple):
-    """Per-lane per-bounce records — `path` in integrator.fut:25."""
-    distance: jax.Array   # (N, PATH_LEN) cumulative distance, +inf dark
-    radiance: jax.Array   # (N, PATH_LEN)
+    """Per-bounce records, transposed — `path` in integrator.fut:25."""
+    distance: jax.Array   # (PATH_LEN, N) cumulative distance, +inf dark
+    radiance: jax.Array   # (PATH_LEN, N)
 
 
 class FrameSamples(NamedTuple):
     """Everything sample_pixels produces for one 1-spp wavefront."""
-    ray_origin: jax.Array  # (N, 3) primary ray
-    ray_dir: jax.Array     # (N, 3)
+    ray_origin: jax.Array  # (3, N) primary ray
+    ray_dir: jax.Array     # (3, N)
     channel: jax.Array     # (N,) int32 sensor channel of the hero sample
     path: PathRecords
     rays_traced: jax.Array  # scalar int32: total trace queries (bench)
@@ -56,21 +61,24 @@ class FrameSamples(NamedTuple):
 
 def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
                ambience, transmitter_kind: str,
-               trans_tris: Optional[jax.Array], trans_theta,
+               trans_sectors, trans_theta,
                trans_emission) -> tuple[jax.Array, PathRecords, jax.Array]:
     """Trace the whole lane pool through <= PATH_LEN bounces
-    (path_trace, integrator.fut:27-76). Returns (rng_state, PathRecords,
-    rays_traced)."""
-    n = origin.shape[0]
-    ambient = spec.lookup(wavelen, jnp.broadcast_to(ambience, (n, 6, 2)))
+    (path_trace, integrator.fut:27-76). Rays are V3 (3, N). Returns
+    (rng_state, PathRecords, rays_traced)."""
+    n = d.shape[-1]
+    ambience = jnp.asarray(ambience, jnp.float32)
+    ambient = spec.lookup_pairs(
+        wavelen, [(ambience[k, 0], ambience[k, 1]) for k in range(6)])
+    ambient = jnp.broadcast_to(ambient, (n,))
 
     init = dict(
         rng=state,
-        o=origin, d=d,
+        o=jnp.broadcast_to(origin, (3, n)), d=d,
         alive=jnp.ones((n,), bool),
         cum_dist=jnp.zeros((n,), jnp.float32),
-        dist=jnp.full((n, PATH_LEN), jnp.inf, jnp.float32),
-        rad=jnp.zeros((n, PATH_LEN), jnp.float32),
+        dist=jnp.full((PATH_LEN, n), jnp.inf, jnp.float32),
+        rad=jnp.zeros((PATH_LEN, n), jnp.float32),
         i=jnp.int32(0),
         rays=jnp.int32(0),
     )
@@ -85,26 +93,24 @@ def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
         hit = alive & inter.ok
         miss = alive & ~inter.ok
 
-        # Miss: record ambience at infinite distance, lane dies
-        # (integrator.fut:76).
-        dist = c["dist"].at[:, c["i"]].set(
-            jnp.where(miss, jnp.inf, c["dist"][:, c["i"]]))
-        rad = c["rad"].at[:, c["i"]].set(
-            jnp.where(miss, ambient, c["rad"][:, c["i"]]))
-
         # Hit: NEE direct light + first-bounce emission
         # (integrator.fut:46-55).
         wo = -c["d"]
         rng, direct = direct_mod.direct_radiance(
-            c["rng"], scene, wo, inter, wavelen, trans_tris,
+            c["rng"], scene, wo, inter, wavelen, trans_sectors,
             transmitter_kind, trans_theta, trans_emission)
         emitted = jnp.where(c["i"] == 0, inter.emission_at_wl, 0.0)
         radiance = direct + emitted
         cum_dist = jnp.where(hit, c["cum_dist"] + inter.t, c["cum_dist"])
-        dist = dist.at[:, c["i"]].set(
-            jnp.where(hit, cum_dist, dist[:, c["i"]]))
-        rad = rad.at[:, c["i"]].set(
-            jnp.where(hit, radiance, rad[:, c["i"]]))
+
+        # one (1, N) row write per bounce: hit -> (cum_dist, radiance),
+        # miss -> (inf, ambience) (integrator.fut:55, :76)
+        row_dist = jnp.where(hit, cum_dist, jnp.inf)
+        row_rad = jnp.where(hit, radiance, jnp.where(miss, ambient, 0.0))
+        dist = jax.lax.dynamic_update_index_in_dim(
+            c["dist"], row_dist, c["i"], 0)
+        rad = jax.lax.dynamic_update_index_in_dim(
+            c["rad"], row_rad, c["i"], 0)
 
         # BSDF bounce + unit-weight Russian roulette
         # (integrator.fut:56-75).
@@ -113,15 +119,15 @@ def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
         pdf = jnp.where(pdf_kind == materials.PDF_DELTA, 1.0,
                         jnp.where(pdf_kind == materials.PDF_NONZERO,
                                   pdf_val, 0.0))
-        cos_falloff = jnp.abs(la.dot(inter.normal, wi))
+        cos_falloff = jnp.abs(la.v3_dot(inter.normal, wi))
         p_terminate = 1.0 - bsdf * cos_falloff / pdf
         rng, u = prng.next_unit(rng)
         terminate = u < p_terminate
         alive_next = hit & (pdf != 0) & ~terminate
 
-        o_new, d_new = shapes.mkray_adjust_acne(inter.pos, inter.normal, wi)
-        o = jnp.where(alive_next[:, None], o_new, c["o"])
-        dnew = jnp.where(alive_next[:, None], d_new, c["d"])
+        o_new, d_new = shapes.mkray_adjust_acne_v(inter.pos, inter.normal, wi)
+        o = jnp.where(alive_next, o_new, c["o"])
+        dnew = jnp.where(alive_next, d_new, c["d"])
 
         # 1 closest + 2 shadow queries per live lane this bounce.
         rays = c["rays"] + 3 * jnp.sum(alive).astype(jnp.int32)
@@ -130,7 +136,9 @@ def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
                     i=c["i"] + 1, rays=rays)
 
     out = jax.lax.while_loop(cond, body, init)
-    return out["rng"], PathRecords(distance=out["dist"], radiance=out["rad"]), out["rays"]
+    return (out["rng"],
+            PathRecords(distance=out["dist"], radiance=out["rad"]),
+            out["rays"])
 
 
 def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
@@ -152,48 +160,49 @@ def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     if full_h is None:
         full_h = h
     n = w * h
-    jj, ii = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
-                          jnp.arange(h, dtype=jnp.float32))
-    ii = ii + jnp.asarray(row0, jnp.float32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    jx = (lane % w).astype(jnp.float32)
+    iy_row = (lane // w).astype(jnp.float32) + jnp.asarray(row0, jnp.float32)
     # the reference flips i: y = h - i - 1 (integrator.fut:89)
-    ji = jnp.stack([jj.reshape(-1), (full_h - ii.reshape(-1) - 1.0)],
-                   axis=-1)
+    iy = full_h - iy_row - 1.0
 
-    lane_ids = (jnp.arange(n, dtype=jnp.uint32)
+    lane_ids = (lane.astype(jnp.uint32)
                 + jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
     state = prng.make_streams(seed, nonce, lane_ids)
     state, wavelen, channel = cam_mod.sample_wavelength(state, cam.conf)
-    wh = jnp.asarray([w, full_h], jnp.float32)
-    state, origin, d = cam_mod.sample_ray(state, cam, wh, ji)
+    state, origin, d = cam_mod.sample_ray(
+        state, cam, (jnp.float32(w), jnp.float32(full_h)), jx, iy)
 
-    trans_tris = cam_mod.gen_transmitter_tris(cam, transmitter_kind, d)
+    trans_sectors = cam_mod.gen_transmitter_sectors(cam, transmitter_kind, d)
 
     state, path, rays = path_trace(
         state, scene, origin, d, wavelen, ambience, transmitter_kind,
-        trans_tris, cam.conf.trans_theta, cam.conf.trans_emission)
+        trans_sectors, cam.conf.trans_theta, cam.conf.trans_emission)
     rays = rays + jnp.int32(n)  # primary rays
-    return FrameSamples(ray_origin=origin, ray_dir=d, channel=channel,
-                        path=path, rays_traced=rays)
+    return FrameSamples(ray_origin=jnp.broadcast_to(origin, (3, n)),
+                        ray_dir=d, channel=channel, path=path,
+                        rays_traced=rays)
 
 
 # ---------------------------------------------------------------------------
 # Visualization (integrator.fut:133-170)
 
 def hue_to_rgb(hhue):
-    """HSV->RGB at full saturation/value (integrator.fut:139-148)."""
+    """HSV->RGB at full saturation/value (integrator.fut:139-148).
+    hhue (N,) -> (3, N)."""
     hp = hhue * 6.0
     x = 1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0)
-    k = jnp.floor(hp).astype(jnp.int32)[..., None]
+    k = jnp.floor(hp).astype(jnp.int32)
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     rgb = jnp.select(
         [k == 0, k == 1, k == 2, k == 3, k == 4],
-        [jnp.stack([one, x, zero], -1),
-         jnp.stack([x, one, zero], -1),
-         jnp.stack([zero, one, x], -1),
-         jnp.stack([zero, x, one], -1),
-         jnp.stack([x, zero, one], -1)],
-        jnp.stack([one, zero, x], -1))
+        [la.v3(one, x, zero),
+         la.v3(x, one, zero),
+         la.v3(zero, one, x),
+         la.v3(zero, x, one),
+         la.v3(x, zero, one)],
+        la.v3(one, zero, x))
     return rgb
 
 
@@ -201,14 +210,14 @@ def visualize_color(samples: FrameSamples, channel_colors, w: int, h: int):
     """Sum of per-bounce radiance routed to the sample's channel color,
     scaled by the channel count (integrator.fut:163-168)."""
     n_channels = channel_colors.shape[0]
-    intensity = jnp.sum(samples.path.radiance, axis=-1)  # (N,)
+    intensity = jnp.sum(samples.path.radiance, axis=0)  # (N,)
     # channel -> color via a static select chain (C <= 3), not a gather
-    color = jnp.zeros(intensity.shape + (3,), jnp.float32)
+    color = jnp.zeros((3,) + intensity.shape, jnp.float32)
     for c in range(n_channels):
-        color = jnp.where((samples.channel == c)[:, None],
-                          channel_colors[c], color)
-    img = la.scale(intensity, color) * jnp.float32(n_channels)
-    return img.reshape(h, w, 3)
+        color = jnp.where(samples.channel == c,
+                          channel_colors[c][:, None], color)
+    img = (intensity * color) * jnp.float32(n_channels)  # (3, N)
+    return la.v3_to_array(img).reshape(h, w, 3)
 
 
 def visualize_distance(samples: FrameSamples, w: int, h: int):
@@ -216,12 +225,12 @@ def visualize_distance(samples: FrameSamples, w: int, h: int):
     d = samples.path.distance
     valid = ((samples.path.radiance > 0)
              & (d > LIDAR_MIN_D) & (d < LIDAR_MAX_D))
-    dmin = jnp.min(jnp.where(valid, d, jnp.inf), axis=-1)
+    dmin = jnp.min(jnp.where(valid, d, jnp.inf), axis=0)  # (N,)
     has = jnp.isfinite(dmin)
     hue = 0.85 * (dmin - LIDAR_MIN_D) / (LIDAR_MAX_D - LIDAR_MIN_D)
     rgb = hue_to_rgb(jnp.where(has, hue, 0.0))
-    img = jnp.where(has[:, None], rgb, 0.0)
-    return img.reshape(h, w, 3)
+    img = jnp.where(has, rgb, 0.0)  # (3, N)
+    return la.v3_to_array(img).reshape(h, w, 3)
 
 
 def visualize(samples: FrameSamples, render_mode: str, channel_colors,
@@ -253,37 +262,44 @@ def accumulate_distance(acc, new):
 # LiDAR point clouds (integrator.fut:118-128, lib.fut:35-63)
 
 class CloudPoints(NamedTuple):
-    pos: jax.Array        # (N, PATH_LEN, 3)
-    distance: jax.Array   # (N, PATH_LEN)
-    intensity: jax.Array  # (N, PATH_LEN)
+    pos: jax.Array        # (3, PATH_LEN, N)
+    distance: jax.Array   # (PATH_LEN, N)
+    intensity: jax.Array  # (PATH_LEN, N)
 
 
 def to_cloud_points(samples: FrameSamples) -> CloudPoints:
     """Positions along the straight primary ray at each return's path
     distance (sample_points, integrator.fut:118-128)."""
-    d = samples.path.distance
-    safe_d = jnp.where(jnp.isfinite(d), d, 0.0)
+    dists = samples.path.distance  # (L, N)
+    safe_d = jnp.where(jnp.isfinite(dists), dists, 0.0)
     pos = (samples.ray_origin[:, None, :]
-           + safe_d[..., None] * samples.ray_dir[:, None, :])
-    return CloudPoints(pos=pos, distance=d,
+           + safe_d[None] * samples.ray_dir[:, None, :])
+    return CloudPoints(pos=pos, distance=dists,
                        intensity=samples.path.radiance)
 
 
 def closest_return(points: CloudPoints, spp_factor):
     """Scale intensity by 1/spp, filter to the LiDAR window, min-distance
     return per lane (the `closest` helper, lib.fut:40-47). Returns
-    (pos (N,3), distance (N,), intensity (N,)); misses are
+    (pos (3, N), distance (N,), intensity (N,)); misses are
     pos=(-1,-1,-1), distance=inf, intensity=0."""
     inten = points.intensity * spp_factor
     valid = ((inten > 0)
              & (points.distance > LIDAR_MIN_D)
              & (points.distance < LIDAR_MAX_D))
     dist = jnp.where(valid, points.distance, jnp.inf)
-    k = jnp.argmin(dist, axis=-1)
-    best_d = jnp.take_along_axis(dist, k[:, None], axis=-1)[:, 0]
+    best_d = jnp.min(dist, axis=0)                    # (N,)
     has = jnp.isfinite(best_d)
-    best_pos = jnp.take_along_axis(points.pos, k[:, None, None], axis=1)[:, 0]
-    best_i = jnp.take_along_axis(inten, k[:, None], axis=-1)[:, 0]
-    pos = jnp.where(has[:, None], best_pos, -1.0)
+    # first record achieving the min (bounce axis is static length 16:
+    # unrolled select chain, no argmin-over-lanes)
+    best_pos = points.pos[:, 0, :]
+    best_i = inten[0]
+    found = dist[0] == best_d
+    for k in range(1, points.distance.shape[0]):
+        m = (~found) & (dist[k] == best_d)
+        best_pos = jnp.where(m, points.pos[:, k, :], best_pos)
+        best_i = jnp.where(m, inten[k], best_i)
+        found = found | m
+    pos = jnp.where(has, best_pos, -1.0)
     inten_out = jnp.where(has, best_i, 0.0)
     return pos, jnp.where(has, best_d, jnp.inf), inten_out

@@ -106,57 +106,58 @@ def sample_wavelength(state, conf: CameraConfig):
     return state, wavelen, channel
 
 
-def sample_ray(state, cam: Camera, wh, ji):
-    """Thin-lens jittered primary ray per lane (camera.fut:81-110).
+def sample_ray(state, cam: Camera, wh, jx, iy):
+    """Thin-lens jittered primary ray per lane (camera.fut:81-110),
+    transposed layout.
 
-    wh: (2,) image plane size (w, h) as f32; ji: (N, 2) pixel coords with
-    j = column, i flipped as (h - i - 1) by the caller.
-    Returns (state, origin (N,3), dir (N,3)).
+    wh: (w, h) python/scalar pair; jx/iy: (N,) pixel coords with
+    j = column, i already flipped as (h - i - 1) by the caller.
+    Returns (state, origin (3,N), dir (3,N)).
     """
     conf = cam.conf
-    ratio = wh[0] / wh[1]
+    w_f, h_f = wh
+    ratio = w_f / h_f
     state, (ox, oy) = prng.in_unit_square(state)
-    offset = jnp.stack([ox, oy], axis=-1) * conf.offset_radius
-    xy = (ji + offset) / wh
+    x = (jx + ox * conf.offset_radius) / w_f
+    y = (iy + oy * conf.offset_radius) / h_f
 
     lens_radius = conf.aperture / 2.0
     half_height = jnp.tan(conf.field_of_view / 2.0)
     half_width = ratio * half_height
-    d = cam_dir(cam)
-    w, u, v = -d, cam_right(cam), cam_up(cam)
+    d = la.v3_from_array(cam_dir(cam))[:, None]       # (3,1)
+    u = la.v3_from_array(cam_right(cam))[:, None]
+    v = la.v3_from_array(cam_up(cam))[:, None]
+    w_vec = -d
     fd = conf.focal_dist
-    lower_left = (cam.origin
-                  - la.scale(half_width * fd, u)
-                  - la.scale(half_height * fd, v)
-                  - la.scale(fd, w))
-    horizontal = la.scale(2.0 * half_width * fd, u)
-    vertical = la.scale(2.0 * half_height * fd, v)
+    origin0 = cam.origin[:, None]                      # (3,1)
+    lower_left = (origin0
+                  - (half_width * fd) * u
+                  - (half_height * fd) * v
+                  - fd * w_vec)
+    horizontal = (2.0 * half_width * fd) * u
+    vertical = (2.0 * half_height * fd) * v
 
-    state, disk = prng.in_unit_disk(state)
-    lens = disk * lens_radius
-    lens_offset = la.scale(lens[..., 0], u) + la.scale(lens[..., 1], v)
-    origin = cam.origin + lens_offset
-    target = (lower_left
-              + la.scale(xy[..., 0], horizontal)
-              + la.scale(xy[..., 1], vertical))
-    return state, origin, la.normalize(target - origin)
+    state, (lx, ly) = prng.in_unit_disk_xy(state)
+    lens_offset = (lens_radius * lx) * u + (lens_radius * ly) * v
+    origin = origin0 + lens_offset
+    target = lower_left + x * horizontal + y * vertical
+    return state, origin, la.v3_normalize(target - origin)
 
 
-def gen_transmitter_tris(cam: Camera, transmitter_kind: str, ray_dir):
+def gen_transmitter_sectors(cam: Camera, transmitter_kind: str, ray_dir):
     """Per-ray transmitter geometry: an 8-sector disk fan at the camera
-    origin (camera.fut:112-122).
+    origin (camera.fut:112-122), transposed layout.
 
     flash: normal = camera direction (same fan for every ray)
     scanning: normal = the ray's own direction (per-ray fan)
-    Returns (N, 8, 3, 3) triangles, or None when kind == none.
+    Returns a list of TRANSMITTER_SECTORS (a, b, c) V3 tuples, or None.
     """
     if transmitter_kind == TRANSMITTER_NONE:
         return None
-    n = ray_dir.shape[0]
     if transmitter_kind == TRANSMITTER_FLASH:
-        fan = shapes.disk(cam.origin, cam_dir(cam), cam.conf.trans_radius,
-                          TRANSMITTER_SECTORS)
-        return jnp.broadcast_to(fan, (n,) + fan.shape)
-    origin = jnp.broadcast_to(cam.origin, ray_dir.shape)
-    return shapes.disk(origin, ray_dir, cam.conf.trans_radius,
-                       TRANSMITTER_SECTORS)
+        normal = la.v3_from_array(cam_dir(cam))[:, None]
+    else:
+        normal = ray_dir
+    origin = jnp.broadcast_to(cam.origin[:, None], normal.shape)
+    return shapes.disk_sectors_v(origin, normal, cam.conf.trans_radius,
+                                 TRANSMITTER_SECTORS)

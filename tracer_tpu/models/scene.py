@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from tracer_tpu.models import lights as lights_mod
 from tracer_tpu.ops import bvh as bvh_mod
 from tracer_tpu.ops import intersect, materials, tables
+from tracer_tpu.ops import linalg as la
 
 Accel = Union[intersect.DenseTris, bvh_mod.LBVH]
 
@@ -112,25 +113,34 @@ def pack_light_table(lights: lights_mod.Lights) -> jax.Array:
 
 
 def closest_hit(scene: Scene, tmax, origin, d):
-    """Dispatch to the active acceleration structure. Returns
-    (ok, t, tri_idx, pos, normal) with tri_idx in input triangle order."""
+    """Dispatch to the active acceleration structure. Rays are V3 (3,N);
+    returns (ok, t, tri_idx, pos (3,N), normal (3,N)) with tri_idx in
+    input triangle order."""
     if isinstance(scene.accel, intersect.DenseTris):
         return intersect.closest_hit(scene.accel, tmax, origin, d)
-    return bvh_mod.closest_hit(scene.accel, tmax, origin, d)
+    n = jnp.broadcast_shapes(origin.shape, d.shape)[1]
+    o_a = la.v3_to_array(jnp.broadcast_to(origin, (3, n)))
+    d_a = la.v3_to_array(jnp.broadcast_to(d, (3, n)))
+    ok, t, idx, pos, nrm = bvh_mod.closest_hit(scene.accel, tmax, o_a, d_a)
+    return ok, t, idx, la.v3_from_array(pos), la.v3_from_array(nrm)
 
 
 def any_hit(scene: Scene, tmax, origin, d):
+    """Shadow query; rays are V3 (3,N)."""
     if isinstance(scene.accel, intersect.DenseTris):
         return intersect.any_hit(scene.accel, tmax, origin, d)
-    return bvh_mod.any_hit(scene.accel, tmax, origin, d)
+    n = jnp.broadcast_shapes(origin.shape, d.shape)[1]
+    o_a = la.v3_to_array(jnp.broadcast_to(origin, (3, n)))
+    d_a = la.v3_to_array(jnp.broadcast_to(d, (3, n)))
+    return bvh_mod.any_hit(scene.accel, tmax, o_a, d_a)
 
 
 class Interaction(NamedTuple):
     """Per-lane surface interaction (material.fut:22 'interaction')."""
     ok: jax.Array       # (N,) bool
     t: jax.Array        # (N,)
-    pos: jax.Array      # (N, 3)
-    normal: jax.Array   # (N, 3)
+    pos: jax.Array      # V3 (3, N)
+    normal: jax.Array   # V3 (3, N)
     mat: materials.MaterialLanes
     emission_at_wl: jax.Array  # (N,) emission spectrum at the hero wavelength
 

@@ -83,13 +83,15 @@ def build_dense(tris, pad_to: int = _PAD) -> DenseTris:
 
 
 def ray_features_t(origin, d):
-    """phi(ray) transposed: (10, N) = [d, o, o x d, 1] rows."""
-    oxd = jnp.cross(origin, d)
-    comps = [d[:, 0], d[:, 1], d[:, 2],
-             origin[:, 0], origin[:, 1], origin[:, 2],
-             oxd[:, 0], oxd[:, 1], oxd[:, 2],
-             jnp.ones(origin.shape[:-1], jnp.float32)]
-    return jnp.stack(comps, axis=0)
+    """phi(ray) transposed: (10, N) = [d, o, o x d, 1] rows.
+
+    origin/d are V3 = (3, N) (linalg.py transposed convention), so this
+    is a pure major-axis concat — no relayout."""
+    from tracer_tpu.ops import linalg as la
+    oxd = la.v3_cross(origin, d)
+    ones = jnp.ones(jnp.broadcast_shapes(origin.shape, d.shape)[1:],
+                    jnp.float32)[None]
+    return jnp.concatenate([d, origin, oxd, ones], axis=0)
 
 
 def _chunk_scores_t(phi_t, coeffs_chunk, tmax):
@@ -115,17 +117,18 @@ def _chunk_scores_t(phi_t, coeffs_chunk, tmax):
 def _reintersect(dense: DenseTris, best_i, origin, d, tmax):
     """Exact pos/normal for the winning triangle, mirroring the
     reference's final hit_triangle on the best leaf (bvh.fut:143-145).
-    The triangle record comes back via one-hot matmul, not gather."""
+    The triangle record comes back via one-hot matmul, not gather; its
+    (9, N) rows are already V3 vertex blocks."""
     rows_t = tables.take_rows_t(dense.tris, best_i)  # (9, N)
-    tri = jnp.stack([rows_t[0:3].T, rows_t[3:6].T, rows_t[6:9].T], axis=-2)
-    return shapes.hit_triangle(tmax, origin, d, tri)
+    return shapes.hit_triangle_v(tmax, origin, d,
+                                 rows_t[0:3], rows_t[3:6], rows_t[6:9])
 
 
 def closest_hit(dense: DenseTris, tmax, origin, d,
                 chunk: int = DEFAULT_CHUNK):
-    """Closest-hit query: rays (N,3)+(N,3) vs all triangles.
+    """Closest-hit query: rays as V3 (3,N)+(3,N) vs all triangles.
 
-    Returns (ok (N,), t (N,), tri_idx (N,) int32, pos (N,3), normal (N,3)).
+    Returns (ok (N,), t (N,), tri_idx (N,) int32, pos (3,N), normal (3,N)).
     Semantics match mk_fake_bvh.closest_hit (bvh.fut:31-39): global min-t.
     """
     phi_t = ray_features_t(origin, d)

@@ -10,11 +10,14 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 WORLD_UP = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)  # linalg.fut:47
 INV_PI = 1.0 / math.pi
 ERROR_VEC = jnp.array([1000.0, 0.0, 1000.0], dtype=jnp.float32)  # linalg.fut:33
+# (3, 1) transposed world-up, broadcast-ready against (3, N)
+V3_UP = jnp.array([[0.0], [1.0], [0.0]], dtype=jnp.float32)
 
 
 def vec3(x, y, z):
@@ -90,6 +93,74 @@ def rot_z(angle, v):
     c, s = jnp.cos(angle), jnp.sin(angle)
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
     return vec3(c * x - s * y, s * x + c * y, z)
+
+
+# ---------------------------------------------------------------------------
+# Transposed vectors: V3 = array with the COMPONENT axis first, (3, ...).
+#
+# This is the hot-path convention. With lanes (N,) on the minor axis,
+# component slices v[0] are free major-axis slices, (N,) scalars broadcast
+# against (3, N) vectors with no relayout, and transposed table fetches
+# (ops/tables.py, (K, N)) yield vectors directly as row blocks. The
+# (..., 3) helpers above remain for host-side / build-time code.
+
+def v3(x, y, z):
+    """Stack components (each (...,)) into a (3, ...) vector."""
+    x, y, z = jnp.broadcast_arrays(jnp.asarray(x, jnp.float32),
+                                   jnp.asarray(y, jnp.float32),
+                                   jnp.asarray(z, jnp.float32))
+    return jnp.stack([x, y, z], axis=0)
+
+
+def v3_const(x, y, z):
+    """A constant vector as (3, 1): broadcasts against (3, N) lanes.
+
+    NOTE a bare (3,) array would silently mis-broadcast against (3, N)
+    (numpy aligns trailing axes) — always keep one batch axis.
+    """
+    return jnp.asarray([[x], [y], [z]], jnp.float32)
+
+
+
+
+def v3_dot(a, b):
+    p = a * b
+    return p[0] + p[1] + p[2]
+
+
+def v3_cross(a, b):
+    return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                      a[2] * b[0] - a[0] * b[2],
+                      a[0] * b[1] - a[1] * b[0]], axis=0)
+
+
+def v3_quadrance(a):
+    return v3_dot(a, a)
+
+
+def v3_norm(a):
+    return jnp.sqrt(v3_quadrance(a))
+
+
+def v3_normalize(a, eps: float = 0.0):
+    q = v3_quadrance(a)
+    if eps:
+        q = jnp.maximum(q, eps * eps)
+    return a * jax.lax.rsqrt(q)
+
+
+def v3_same_side(dominant, w):
+    return jnp.sign(v3_dot(dominant, w)) * w
+
+
+def v3_from_array(arr):
+    """(..., 3) -> (3, ...)."""
+    return jnp.moveaxis(jnp.asarray(arr, jnp.float32), -1, 0)
+
+
+def v3_to_array(v):
+    """(3, ...) -> (..., 3)."""
+    return jnp.moveaxis(v, 0, -1)
 
 
 def to_rad(deg: float) -> float:

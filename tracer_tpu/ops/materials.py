@@ -7,13 +7,15 @@ reflection against an opacity-lerped diffuse/transmission refraction
 single wavelength per path (spectral rendering with one hero wavelength).
 
 TPU re-design notes:
-  * Every function maps over (N,) lanes; the reference's stochastic
-    if/else branch tree (material.fut:336-344, :365-370) becomes
-    compute-all-candidates + select, which keeps the VPU dense: the three
-    candidate lobes (microfacet reflection, cosine diffuse, specular
-    transmission) are a handful of elementwise ops each.
-  * Directions in "local space" are (N, 3) with the shading normal mapped
-    to +z via an orthonormal basis (material.fut:372-410).
+  * Every function maps over (N,) lanes; directions are TRANSPOSED
+    vectors (3, N) (linalg.py V3 convention) so (N,) scalars and vectors
+    mix without layout changes.
+  * The reference's stochastic if/else branch tree (material.fut:336-344,
+    :365-370) becomes compute-all-candidates + select, which keeps the
+    VPU dense: the three candidate lobes (microfacet reflection, cosine
+    diffuse, specular transmission) are a handful of elementwise ops each.
+  * "Local space" maps the shading normal to +z via an orthonormal basis
+    (material.fut:372-410); component reads are free major-axis slices.
   * The sample PDF sum type #delta|#impossible|#nonzero (material.fut:45-54)
     becomes (value f32, kind int32) lane pairs.
 
@@ -31,6 +33,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tracer_tpu.ops import linalg as la
@@ -83,7 +86,9 @@ class MaterialLanes(NamedTuple):
 
 def at_wavelength(table: MaterialTable, mat_ix, wavelen) -> MaterialLanes:
     """Gather per-lane material rows and evaluate at the hero wavelength
-    (material_at_wavelen, material.fut:32-42, incl. the dispersion hack)."""
+    (material_at_wavelen, material.fut:32-42, incl. the dispersion hack).
+    Cold-path variant (device gather); the integrator uses
+    at_wavelength_rows instead."""
     mat_ix = jnp.asarray(mat_ix, jnp.int32)
     color = spec.lookup(wavelen, table.color[mat_ix])
     ref_ix = table.ref_ix[mat_ix] - (wavelen - 589.0) / 10000.0
@@ -120,40 +125,41 @@ def at_wavelength_rows(rows_t, wavelen):
 
 
 # ---------------------------------------------------------------------------
-# Local frame
+# Local frame (material.fut:372-410). All vectors are V3 = (3, N).
 
 def make_onb(normal):
     """Orthonormal basis with the normal as +z (material.fut:374-379)."""
-    nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    nx, ny, nz = normal[0], normal[1], normal[2]
     use_x = jnp.abs(nx) > jnp.abs(nz)
-    binormal = jnp.where(use_x[..., None],
-                         la.vec3(-ny, nx, jnp.zeros_like(nx)),
-                         la.vec3(jnp.zeros_like(nx), -nz, ny))
-    binormal = la.normalize(binormal, eps=1e-30)
-    tangent = la.cross(binormal, normal)
+    zeros = jnp.zeros_like(nx)
+    binormal = jnp.where(use_x,
+                         la.v3(-ny, nx, zeros),
+                         la.v3(zeros, -nz, ny))
+    binormal = la.v3_normalize(binormal, eps=1e-30)
+    tangent = la.v3_cross(binormal, normal)
     return tangent, binormal, normal
 
 
 def world_to_local(onb, w):
     tangent, binormal, normal = onb
-    return la.vec3(la.dot(w, tangent), la.dot(w, binormal), la.dot(w, normal))
+    return la.v3(la.v3_dot(w, tangent), la.v3_dot(w, binormal),
+                 la.v3_dot(w, normal))
 
 
 def local_to_world(onb, w):
     tangent, binormal, normal = onb
-    return (la.scale(w[..., 0], tangent) + la.scale(w[..., 1], binormal)
-            + la.scale(w[..., 2], normal))
+    return w[0] * tangent + w[1] * binormal + w[2] * normal
 
 
 # ---------------------------------------------------------------------------
 # Local-space trig helpers (material.fut:69-86)
 
 def cos_theta(w):
-    return w[..., 2]
+    return w[2]
 
 
 def cos2_theta(w):
-    return w[..., 2] * w[..., 2]
+    return w[2] * w[2]
 
 
 def sin2_theta(w):
@@ -165,12 +171,12 @@ def tan2_theta(w):
 
 
 def same_hemisphere(w, u):
-    return w[..., 2] * u[..., 2] > 0
+    return w[2] * u[2] > 0
 
 
 def reflect(w, n):
     """material.fut:90-91"""
-    return la.scale(2.0 * la.dot(w, n), n) - w
+    return 2.0 * la.v3_dot(w, n) * n - w
 
 
 # ---------------------------------------------------------------------------
@@ -186,22 +192,22 @@ def diffuse_pdf(wo, wi):
 
 def cosine_sample_hemisphere(state):
     """Malley's method (material.fut:106-112)."""
-    state, d = prng.in_unit_disk(state)
-    sin2t = d[..., 0] ** 2 + d[..., 1] ** 2
+    state, (dx, dy) = prng.in_unit_disk_xy(state)
+    sin2t = dx * dx + dy * dy
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2t))
-    return state, la.vec3(d[..., 0], d[..., 1], z)
+    return state, la.v3(dx, dy, z)
 
 
 def refract(wi, n, eta):
     """Snell refraction with total-internal-reflection fallback
     (material.fut:132-142). Returns (wt, tir_mask)."""
-    cos_i = la.dot(n, wi)
+    cos_i = la.v3_dot(n, wi)
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin2_t = eta * eta * sin2_i
     tir = sin2_t >= 1.0
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    wt = la.scale(-eta, wi) + la.scale(eta * cos_i - cos_t, n)
-    wt = jnp.where(tir[..., None], reflect(wi, n), wt)
+    wt = -eta * wi + (eta * cos_i - cos_t) * n
+    wt = jnp.where(tir, reflect(wi, n), wt)
     return wt, tir
 
 
@@ -210,11 +216,9 @@ def transmission_sample(wo, m: MaterialLanes):
     1/|cos| with a delta pdf mirrors the reference, including its admitted
     approximation for the TIR branch."""
     entering = cos_theta(wo) > 0
-    eta_air = 1.0
-    local_n = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 1.0], jnp.float32), wo.shape)
-    n = jnp.where(entering[..., None], local_n, -local_n)
-    eta = jnp.where(entering, eta_air / m.ref_ix, m.ref_ix / eta_air)
+    local_n = la.v3_const(0.0, 0.0, 1.0)
+    n = jnp.where(entering, local_n, -local_n)
+    eta = jnp.where(entering, 1.0 / m.ref_ix, m.ref_ix)
     wi, _ = refract(wo, n, eta)
     bsdf = 1.0 / jnp.maximum(jnp.abs(cos_theta(wi)), 1e-12)
     return wi, bsdf
@@ -253,7 +257,7 @@ def self_shadowing_factor(alpha, wo, wi):
 
 
 def microfacet_factor(wo, wi, m: MaterialLanes):
-    wh = la.normalize(wi + wo, eps=1e-30)
+    wh = la.v3_normalize(wi + wo, eps=1e-30)
     alpha = beckmann_alpha(m.roughness)
     return microfacet_distribution(alpha, wh) * self_shadowing_factor(alpha, wo, wi)
 
@@ -267,10 +271,10 @@ def dielectric_reflection_bsdf(wo, wi, m: MaterialLanes):
 
 def dielectric_reflection_pdf(wo, wi, m: MaterialLanes):
     """material.fut:298-302"""
-    wh = la.normalize(wo + wi, eps=1e-30)
+    wh = la.v3_normalize(wo + wi, eps=1e-30)
     alpha = beckmann_alpha(m.roughness)
     pdf_wh = microfacet_distribution(alpha, wh) * jnp.abs(cos_theta(wh))
-    pdf = pdf_wh / (4.0 * la.dot(wo, wh))
+    pdf = pdf_wh / (4.0 * la.v3_dot(wo, wh))
     return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
 
 
@@ -284,23 +288,23 @@ def _sample_beckmann_wh(state, wo, m: MaterialLanes):
     phi = u1 * 2.0 * math.pi
     ct = 1.0 / jnp.sqrt(1.0 + t2)
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-    wh = la.vec3(st * jnp.cos(phi), st * jnp.sin(phi), ct)
-    wh = jnp.where(same_hemisphere(wo, wh)[..., None], wh, -wh)
+    wh = la.v3(st * jnp.cos(phi), st * jnp.sin(phi), ct)
+    wh = jnp.where(same_hemisphere(wo, wh), wh, -wh)
     pdf_wh = microfacet_distribution(alpha, wh) * jnp.abs(ct)
     bad = jnp.isinf(log_sample)
-    return state, jnp.where(bad[..., None], 0.0, wh), jnp.where(bad, 0.0, pdf_wh)
+    return state, jnp.where(bad, 0.0, wh), jnp.where(bad, 0.0, pdf_wh)
 
 
 def dielectric_reflection_sample(state, wo, m: MaterialLanes):
     """material.fut:305-315. Returns (state, wi, bsdf, pdf, kind)."""
     state, wh, pdf_wh = _sample_beckmann_wh(state, wo, m)
     wi = reflect(wo, wh)
-    pdf = pdf_wh / (4.0 * la.dot(wo, wh))
+    pdf = pdf_wh / (4.0 * la.v3_dot(wo, wh))
     kind = jnp.where(pdf_wh > 0, PDF_NONZERO, PDF_IMPOSSIBLE)
     ok = same_hemisphere(wo, wi)
     bsdf = jnp.where(ok, dielectric_reflection_bsdf(wo, wi, m), 0.0)
     kind = jnp.where(ok, kind, PDF_IMPOSSIBLE)
-    wi = jnp.where(ok[..., None], wi, 0.0)
+    wi = jnp.where(ok, wi, 0.0)
     return state, wi, bsdf, jnp.where(ok, pdf, 0.0), kind
 
 
@@ -385,12 +389,11 @@ def uber_sample_dir(state, wo, m: MaterialLanes):
     refl_branch = (~metal_branch) & (~from_inside) & (p_fresnel < fresnel)
     use_reflection = metal_branch | refl_branch
     diffuse_branch = (~use_reflection) & (p_opacity < m.opacity)
-    transmission_branch = (~use_reflection) & (~diffuse_branch)
 
     bsdf_refl = jnp.where(metal_branch, m.color * bsdf_r, bsdf_r)
 
-    wi = jnp.where(use_reflection[..., None], wi_r,
-                   jnp.where(diffuse_branch[..., None], wi_d, wi_t))
+    wi = jnp.where(use_reflection, wi_r,
+                   jnp.where(diffuse_branch, wi_d, wi_t))
     bsdf = jnp.where(use_reflection, bsdf_refl,
                      jnp.where(diffuse_branch, bsdf_d, bsdf_t))
     pdf = jnp.where(use_reflection, pdf_r,

@@ -72,14 +72,19 @@ def next_uniform(state, lo=0.0, hi=1.0):
     return state, lo + u * (hi - lo)
 
 
-def in_unit_disk(state):
-    """Uniform point in the unit disk as (..., 3) with z=0 (rand.fut:21-25)."""
+def in_unit_disk_xy(state):
+    """Uniform point in the unit disk as two (...,) components
+    (rand.fut:21-25)."""
     state, theta = next_uniform(state, 0.0, 2.0 * math.pi)
     state, u = next_unit(state)
     r = jnp.sqrt(u)
-    d = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta),
-                   jnp.zeros_like(r)], axis=-1)
-    return state, d
+    return state, (r * jnp.cos(theta), r * jnp.sin(theta))
+
+
+def in_unit_disk(state):
+    """Uniform point in the unit disk as (..., 3) with z=0 (rand.fut:21-25)."""
+    state, (x, y) = in_unit_disk_xy(state)
+    return state, jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
 
 
 def in_unit_square(state):

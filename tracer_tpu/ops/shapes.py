@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from tracer_tpu.ops import linalg as la
@@ -111,6 +112,81 @@ def hit_aabb(tmax, origin, d, aabb_min, aabb_max):
     tmin = jnp.maximum(jnp.max(lo, axis=-1), 0.0)
     tmax_ = jnp.minimum(jnp.min(hi, axis=-1), tmax)
     return tmax_ > tmin
+
+
+# ---------------------------------------------------------------------------
+# Transposed (V3 = (3, N)) hot-path variants. Same math and epsilons as the
+# (..., 3) versions above; the layout keeps lanes on the minor axis so no
+# broadcast between (N,) scalars and vectors ever relayouts (see
+# linalg.py V3 notes).
+
+def mkray_v(origin, d):
+    return origin, la.v3_normalize(d)
+
+
+def mkray_adjust_acne_v(hit_pos, hit_normal, wi):
+    """shapes.fut:41-46 in transposed layout."""
+    offset = ACNE_EPS * la.v3_same_side(wi, hit_normal)
+    return mkray_v(hit_pos + offset, wi)
+
+
+def triangle_normal_v(ta, tb, tc):
+    return la.v3_normalize(la.v3_cross(tb - ta, tc - ta), eps=1e-30)
+
+
+def triangle_area_v(ta, tb, tc):
+    return la.v3_norm(la.v3_cross(tb - ta, tc - ta)) * 0.5
+
+
+def hit_triangle_v(tmax, origin, d, ta, tb, tc):
+    """Moller test (shapes.fut:66-86), transposed layout.
+
+    Returns (ok (N,), t (N,), pos (3,N), normal (3,N)); t=+inf on miss.
+    """
+    e1 = tb - ta
+    e2 = tc - ta
+    n = la.v3_cross(e1, e2)
+    a = -la.v3_dot(n, d)
+    nondeg = jnp.abs(a) >= TRI_EPS
+    inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
+    s = origin - ta
+    m = la.v3_cross(s, d)
+    t = la.v3_dot(n, s) * inv_a
+    u = la.v3_dot(m, e2) * inv_a
+    v = -la.v3_dot(m, e1) * inv_a
+    ok = (nondeg & (u >= 0) & (v >= 0) & (u + v <= 1)
+          & (t < tmax) & (t > 0))
+    t = jnp.where(ok, t, jnp.inf)
+    pos = origin + jnp.where(ok, t, 0.0) * d
+    normal = la.v3_normalize(n, eps=1e-30)
+    return ok, t, pos, normal
+
+
+def disk_sectors_v(p, normal, radius, n_sectors: int):
+    """Disk triangle fan (shapes.fut:17-35), transposed layout.
+
+    p, normal: (3, N). Returns a list of n_sectors (a, b, c) V3 tuples
+    (a Python list — sector count is static; selection by index is a
+    static where-chain, never a gather).
+    """
+    a = 2.0 * math.pi / n_sectors
+    c = la.v3_cross(normal, jnp.broadcast_to(la.V3_UP, normal.shape))
+    cq = la.v3_quadrance(c)
+    degenerate = cq == 0.0
+    safe = c * jax.lax.rsqrt(jnp.maximum(cq, 1e-30))
+    right = jnp.where(degenerate, la.v3_const(1.0, 0.0, 0.0), safe)
+    up = la.v3_normalize(la.v3_cross(right, normal), eps=1e-30)
+
+    out = []
+    for i in range(n_sectors):
+        b0, b1 = a * i, a * (i + 1)
+
+        def vec_at(b):
+            return math.cos(b) * right + math.sin(b) * up
+
+        v0, v1 = vec_at(b0), vec_at(b1)
+        out.append((p, p + radius * v1, p + radius * v0))
+    return out
 
 
 def disk(p, normal, radius, n_sectors: int):
