@@ -41,27 +41,27 @@ def main():
     from tracer_tpu.engine import integrator
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    spp = int(os.environ.get("BENCH_SPP", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     s = build_state(size)
     w, h = s.sub_dims
 
     @jax.jit
-    def frame(seed, nonce, scene, cam, ambience):
-        samples = integrator.sample_pixels(
-            seed, nonce, scene, cam, ambience, w, h, s.transmitter_kind)
-        img = integrator.visualize(samples, s.render_mode,
-                                   cam.conf.sensor_color, w, h)
-        return img, samples.rays_traced
+    def chunk(seed, nonce, scene, cam, ambience):
+        out = integrator.render_pooled(
+            seed, nonce, scene, cam, ambience, w, h, s.transmitter_kind,
+            spp, s.render_mode)
+        return out["img"], out["rays_traced"]
 
     # compile + warmup
-    img, rays = frame(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+    img, rays = chunk(s.seed, s.nonce, s.scene, s.cam, s.ambience)
     jax.block_until_ready(img)
 
     total_rays = 0
     t0 = time.perf_counter()
-    for k in range(frames):
-        img, rays = frame(s.seed, s.nonce + np.uint32(1 + k), s.scene,
-                          s.cam, s.ambience)
+    for k in range(reps):
+        img, rays = chunk(s.seed, s.nonce + np.uint32(1 + k * spp),
+                          s.scene, s.cam, s.ambience)
         total_rays += int(rays)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0

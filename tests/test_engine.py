@@ -81,6 +81,54 @@ def test_accumulation_ema_semantics():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pooled_matches_per_frame_mean():
+    """The pooled wavefront draws the exact per-frame sample streams, so
+    pooled spp=2 must equal the mean of the two 1-spp frames."""
+    s = cornell_state(24, 24)
+    w, h = s.sub_dims
+    frames = []
+    for k in range(2):
+        samples = integrator.sample_pixels(
+            s.seed, s.nonce + jnp.uint32(k), s.scene, s.cam, s.ambience,
+            w, h, s.transmitter_kind)
+        frames.append(np.asarray(integrator.visualize(
+            samples, s.render_mode, s.cam.conf.sensor_color, w, h)))
+    want = (frames[0] + frames[1]) / 2
+    out = integrator.render_pooled(
+        s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
+        s.transmitter_kind, 2, s.render_mode)
+    np.testing.assert_allclose(np.asarray(out["img"]), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pooled_lidar_matches_per_frame():
+    """Pooled LiDAR capture reproduces the per-frame closest-return merge."""
+    s = cornell_state(12, 12, conf=2)
+    w, h = s.sub_dims
+    spp = 4
+    best = None
+    for k in range(spp):
+        samples = integrator.sample_pixels(
+            s.seed, s.nonce + jnp.uint32(k), s.scene, s.cam, s.ambience,
+            w, h, s.transmitter_kind)
+        cloud = integrator.to_cloud_points(samples)
+        pos, dist, inten = integrator.closest_return(cloud, 1.0 / spp)
+        if best is None:
+            best = (np.asarray(pos), np.asarray(dist), np.asarray(inten))
+        else:
+            keep = best[1] < np.asarray(dist)
+            best = (np.where(keep, best[0], np.asarray(pos)),
+                    np.where(keep, best[1], np.asarray(dist)),
+                    np.where(keep, best[2], np.asarray(inten)))
+    out = integrator.render_pooled(
+        s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
+        s.transmitter_kind, spp, s.render_mode, with_points=True)
+    pos, dist, inten = map(np.asarray, out["points"])
+    np.testing.assert_allclose(dist, best[1], rtol=1e-4)
+    np.testing.assert_allclose(pos, best[0], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(inten, best[2], rtol=1e-3, atol=1e-6)
+
+
 def test_lidar_points_window():
     s = cornell_state(16, 16, conf=2)
     s2, pts = T.sample_points_n(s, 8)

@@ -199,20 +199,27 @@ def key(event: int, keycode: int, s: EngineState) -> EngineState:
 # ---------------------------------------------------------------------------
 # sample_n_frames (lib.fut:67-74)
 
-@partial(jax.jit, static_argnames=())
-def _sample_n_frames_core(s: EngineState, n):
-    s = s.replace(mode=jnp.asarray(True), n_frames=jnp.uint32(0))
-    s = _step_core(s)  # fresh first frame, n_frames = 1
-    s = jax.lax.fori_loop(jnp.uint32(1), jnp.maximum(n, jnp.uint32(1)),
-                          lambda _, st: _step_core(st), s)
-    return s
+@partial(jax.jit, static_argnames=("spp",))
+def _render_pooled_core(s: EngineState, nonce, spp: int):
+    w, h = s.sub_dims
+    out = integrator.render_pooled(
+        s.seed, nonce, s.scene, s.cam, s.ambience, w, h,
+        s.transmitter_kind, spp, s.render_mode)
+    return out["img"]
 
 
 def sample_n_frames(s: EngineState, n: int):
-    """Offline progressive render: n accumulated frames, returns the
-    (h_sub, w_sub, 3) f32 image (lib.fut:67-74)."""
-    out = _sample_n_frames_core(s, jnp.uint32(n))
-    return out.img
+    """Offline progressive render over n frames, returns the
+    (h_sub, w_sub, 3) f32 image (lib.fut:67-74).
+
+    Runs on the occupancy-optimal pooled wavefront: the reference's EMA
+    chain reduces to the mean of frames 2..n (the n_frames=1 merge
+    discards frame 1, integrator.fut:190-192), and the pool draws exactly
+    the camera-sample streams those frames would use."""
+    n = int(n)
+    if n <= 1:
+        return _render_pooled_core(s, s.nonce, 1)
+    return _render_pooled_core(s, s.nonce + jnp.uint32(1), n - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -221,29 +228,10 @@ def sample_n_frames(s: EngineState, n: int):
 @partial(jax.jit, static_argnames=("spp",))
 def _sample_points_core(s: EngineState, spp: int):
     w, h = s.sub_dims
-    n = w * h
-    factor = jnp.float32(1.0 / spp)
-
-    def one(k):
-        samples = integrator.sample_pixels(
-            s.seed, s.nonce + jnp.uint32(k), s.scene, s.cam, s.ambience,
-            w, h, s.transmitter_kind)
-        cloud = integrator.to_cloud_points(samples)
-        return integrator.closest_return(cloud, factor)
-
-    def body(k, carry):
-        pos, dist, inten = carry
-        p2, d2, i2 = one(k)
-        # keep the previous return only when strictly closer (lib.fut:48-51)
-        keep = dist < d2
-        return (jnp.where(keep, pos, p2),
-                jnp.where(keep, dist, d2),
-                jnp.where(keep, inten, i2))
-
-    init = (jnp.full((3, n), -1.0, jnp.float32),
-            jnp.full((n,), jnp.inf, jnp.float32),
-            jnp.zeros((n,), jnp.float32))
-    pos, dist, inten = jax.lax.fori_loop(0, spp, body, init)
+    out = integrator.render_pooled(
+        s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
+        s.transmitter_kind, spp, s.render_mode, with_points=True)
+    pos, dist, inten = out["points"]
     points = jnp.concatenate([la.v3_to_array(pos), inten[:, None]], axis=-1)
     return s.replace(nonce=s.nonce + jnp.uint32(spp)), points.reshape(h, w, 4)
 

@@ -185,6 +185,216 @@ def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 
 
 # ---------------------------------------------------------------------------
+# Pooled wavefront renderer — the occupancy-optimal multi-sample path.
+#
+# The reference (and our per-frame path above) runs spp frames of a
+# <=16-bounce loop; Russian roulette kills most paths after ~2 bounces
+# (measured ~2.2 mean on Cornell), so late iterations run mostly-dead
+# lane pools: ~14% useful work. Here each lane immediately starts its
+# OWN next camera sample when its path dies, so the pool stays ~100%
+# occupied and total iterations drop from spp*16 to ~spp*mean_bounces
+# (+ a tail). Lane k's sample s uses the stream (seed, nonce+s, lane k) —
+# exactly the same streams successive 1-spp frames would use, so pooled
+# rendering reproduces the same camera samples as the per-frame path
+# (sum order per pixel is also sample order).
+
+def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
+                  ambience, w: int, h: int, transmitter_kind: str,
+                  spp: int, render_mode: str,
+                  row0=0, full_h: int | None = None,
+                  with_points: bool = False):
+    """Render spp samples/pixel with lane refill.
+
+    Returns a dict with:
+      img          (h, w, 3) — mean frame, already x n_channels for color
+                   mode; first-sample-with-return hue for distance mode
+      rays_traced  scalar int32 — total trace queries (bench metric)
+      points       (pos (3,N), dist (N,), inten (N,)) closest LiDAR
+                   return per pixel (only if with_points)
+    """
+    if full_h is None:
+        full_h = h
+    n = w * h
+    conf = cam.conf
+    n_channels = conf.sensor_color.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    jx = (lane % w).astype(jnp.float32)
+    iy_row = (lane // w).astype(jnp.float32) + jnp.asarray(row0, jnp.float32)
+    iy = full_h - iy_row - 1.0
+    lane_ids = (lane.astype(jnp.uint32)
+                + jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
+
+    ambience = jnp.asarray(ambience, jnp.float32)
+    seed = jnp.asarray(seed, jnp.uint32)
+    nonce = jnp.asarray(nonce, jnp.uint32)
+    spp_factor = jnp.float32(1.0 / spp)
+
+    zero_n = jnp.zeros((n,), jnp.float32)
+    init = dict(
+        rng=jnp.zeros((n,), jnp.uint32),
+        done=jnp.zeros((n,), jnp.int32),      # samples completed
+        active=jnp.zeros((n,), bool),         # a path is in flight
+        bounce=jnp.zeros((n,), jnp.int32),
+        o=jnp.zeros((3, n), jnp.float32),
+        d=jnp.zeros((3, n), jnp.float32),
+        po=jnp.zeros((3, n), jnp.float32),    # primary ray (for points)
+        pd=jnp.zeros((3, n), jnp.float32),
+        wavelen=zero_n,
+        colw=jnp.zeros((3, n), jnp.float32),  # channel color weight
+        cum_dist=zero_n,
+        sample_rad=zero_n,                    # per-sample radiance sum
+        sample_min_d=jnp.full((n,), jnp.inf), # per-sample windowed min dist
+        accum=jnp.zeros((3, n), jnp.float32),  # color accumulator
+        dist_has=jnp.zeros((n,), bool),       # distance-mode pixel recorded
+        dist_hue=zero_n,
+        best_d=jnp.full((n,), jnp.inf),       # LiDAR closest return
+        best_pos=jnp.full((3, n), -1.0),
+        best_int=zero_n,
+        rays=jnp.int32(0),
+        it=jnp.int32(0),
+    )
+
+    max_iters = spp * PATH_LEN + PATH_LEN + 4
+
+    def cond(c):
+        return jnp.any(c["done"] < spp) & (c["it"] < max_iters)
+
+    def start_samples(c):
+        """Refill idle lanes that still owe samples with a fresh camera
+        sample (wavelength + channel + primary ray)."""
+        start = (~c["active"]) & (c["done"] < spp)
+        sample_idx = c["done"].astype(jnp.uint32)
+        # identical streams to per-frame rendering with nonce+sample_idx:
+        # make_streams(seed, nonce+s, lane) vectorized over per-lane s
+        base = prng.hash_u32(seed ^ prng.hash_u32(nonce + sample_idx))
+        fresh = prng.hash_u32(lane_ids ^ base)
+        rng = jnp.where(start, fresh, c["rng"])
+
+        rng2, wavelen, channel = cam_mod.sample_wavelength(rng, conf)
+        rng2, o_new, d_new = cam_mod.sample_ray(
+            rng2, cam, (jnp.float32(w), jnp.float32(full_h)), jx, iy)
+        colw = jnp.zeros((3, n), jnp.float32)
+        for ci in range(n_channels):
+            colw = jnp.where(channel == ci, conf.sensor_color[ci][:, None],
+                             colw)
+
+        upd = lambda old, new: jnp.where(start, new, old)
+        return dict(c, rng=upd(c["rng"], rng2),
+                    active=c["active"] | start,
+                    bounce=upd(c["bounce"], 0),
+                    o=upd(c["o"], o_new), d=upd(c["d"], d_new),
+                    po=upd(c["po"], o_new), pd=upd(c["pd"], d_new),
+                    wavelen=upd(c["wavelen"], wavelen),
+                    colw=upd(c["colw"], colw),
+                    cum_dist=upd(c["cum_dist"], 0.0),
+                    sample_rad=upd(c["sample_rad"], 0.0),
+                    sample_min_d=upd(c["sample_min_d"], jnp.inf))
+
+    def finish_samples(c, ended):
+        """Close out lanes whose path just died: fold the sample into the
+        pixel accumulators."""
+        # color: accumulate radiance * channel color
+        accum = c["accum"] + jnp.where(ended, c["sample_rad"], 0.0) * c["colw"]
+        # distance visualization: first sample with a windowed return wins
+        got = ended & (~c["dist_has"]) & jnp.isfinite(c["sample_min_d"])
+        hue = 0.85 * (c["sample_min_d"] - LIDAR_MIN_D) / (LIDAR_MAX_D - LIDAR_MIN_D)
+        dist_hue = jnp.where(got, hue, c["dist_hue"])
+        dist_has = c["dist_has"] | got
+        return dict(c, accum=accum, dist_hue=dist_hue, dist_has=dist_has,
+                    done=c["done"] + ended.astype(jnp.int32),
+                    active=c["active"] & ~ended)
+
+    def body(c):
+        c = start_samples(c)
+        alive = c["active"]
+        # the transmitter fan hangs off the PRIMARY ray (integrator.fut:96)
+        trans_sectors = cam_mod.gen_transmitter_sectors(
+            cam, transmitter_kind, c["pd"])
+
+        inter = scene_mod.closest_interaction(
+            scene, shapes.F32_HIGHEST, c["o"], c["d"], c["wavelen"])
+        hit = alive & inter.ok
+        miss = alive & ~inter.ok
+
+        wo = -c["d"]
+        rng, direct = direct_mod.direct_radiance(
+            c["rng"], scene, wo, inter, c["wavelen"], trans_sectors,
+            transmitter_kind, conf.trans_theta, conf.trans_emission)
+        ambient = spec.lookup_pairs(
+            c["wavelen"], [(ambience[k, 0], ambience[k, 1]) for k in range(6)])
+        emitted = jnp.where(c["bounce"] == 0, inter.emission_at_wl, 0.0)
+        radiance = jnp.where(hit, direct + emitted,
+                             jnp.where(miss, ambient, 0.0))
+        cum_dist = jnp.where(hit, c["cum_dist"] + inter.t, c["cum_dist"])
+        rec_dist = jnp.where(hit, cum_dist, jnp.inf)  # miss records inf
+
+        sample_rad = c["sample_rad"] + radiance
+        in_window = ((radiance > 0) & (rec_dist > LIDAR_MIN_D)
+                     & (rec_dist < LIDAR_MAX_D) & alive)
+        sample_min_d = jnp.where(in_window & (rec_dist < c["sample_min_d"]),
+                                 rec_dist, c["sample_min_d"])
+
+        if with_points:
+            # lib.fut:40-47: intensity scaled by 1/spp before the >0 test
+            pt_valid = ((radiance * spp_factor > 0)
+                        & (rec_dist > LIDAR_MIN_D) & (rec_dist < LIDAR_MAX_D)
+                        & alive)
+            better = pt_valid & (rec_dist < c["best_d"])
+            best_d = jnp.where(better, rec_dist, c["best_d"])
+            best_pos = jnp.where(better, c["po"] + rec_dist * c["pd"],
+                                 c["best_pos"])
+            best_int = jnp.where(better, radiance * spp_factor, c["best_int"])
+        else:
+            best_d, best_pos, best_int = c["best_d"], c["best_pos"], c["best_int"]
+
+        # BSDF bounce + RR
+        rng, wi, bsdf, pdf_val, pdf_kind = materials.sample_dir(
+            rng, wo, inter.normal, inter.mat)
+        pdf = jnp.where(pdf_kind == materials.PDF_DELTA, 1.0,
+                        jnp.where(pdf_kind == materials.PDF_NONZERO,
+                                  pdf_val, 0.0))
+        cos_falloff = jnp.abs(la.v3_dot(inter.normal, wi))
+        p_terminate = 1.0 - bsdf * cos_falloff / pdf
+        rng, u = prng.next_unit(rng)
+        terminate = u < p_terminate
+        continues = hit & (pdf != 0) & ~terminate & (c["bounce"] + 1 < PATH_LEN)
+        ended = alive & ~continues
+
+        o_new, d_new = shapes.mkray_adjust_acne_v(inter.pos, inter.normal, wi)
+        c = dict(c, rng=rng,
+                 o=jnp.where(continues, o_new, c["o"]),
+                 d=jnp.where(continues, d_new, c["d"]),
+                 bounce=c["bounce"] + 1,
+                 cum_dist=cum_dist,
+                 sample_rad=sample_rad,
+                 sample_min_d=sample_min_d,
+                 best_d=best_d, best_pos=best_pos, best_int=best_int,
+                 rays=c["rays"] + 3 * jnp.sum(alive).astype(jnp.int32),
+                 it=c["it"] + 1)
+        return finish_samples(c, ended)
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    if render_mode == "distance":
+        rgb = hue_to_rgb(out["dist_hue"])
+        img_t = jnp.where(out["dist_has"], rgb, 0.0)
+        # distance-mode "accumulation" keeps the first frame with a return
+        # (integrator.fut:188-189), which is exactly dist_hue — no /spp.
+    else:
+        img_t = out["accum"] * (jnp.float32(n_channels) * spp_factor)
+    img = la.v3_to_array(img_t).reshape(h, w, 3)
+
+    result = dict(img=img, rays_traced=out["rays"])
+    if with_points:
+        has = jnp.isfinite(out["best_d"])
+        result["points"] = (
+            jnp.where(has, out["best_pos"], -1.0),
+            jnp.where(has, out["best_d"], jnp.inf),
+            jnp.where(has, out["best_int"], 0.0))
+    return result
+
+
+# ---------------------------------------------------------------------------
 # Visualization (integrator.fut:133-170)
 
 def hue_to_rgb(hhue):
