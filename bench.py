@@ -41,8 +41,8 @@ def main():
     from tracer_tpu.engine import integrator
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    spp = int(os.environ.get("BENCH_SPP", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    spp = int(os.environ.get("BENCH_SPP", "256"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     s = build_state(size)
     w, h = s.sub_dims
 
