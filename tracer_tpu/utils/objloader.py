@@ -96,9 +96,29 @@ def _mat_row(m: _Mtl) -> np.ndarray:
     return np.asarray(row, np.float32)
 
 
-def load_obj(path: str, verbose: bool = False):
+def load_obj(path: str, verbose: bool = False, backend: str = "auto"):
     """Load an OBJ with its MTL. Returns (tris (T,3,3) f32,
-    tri_mats (T,) u32, mats (M,28) f32)."""
+    tri_mats (T,) u32, mats (M,28) f32).
+
+    backend: "auto" prefers the native C++ loader (tracer_tpu/native)
+    and falls back to this Python implementation; "python" / "native"
+    force one."""
+    if backend in ("auto", "native"):
+        try:
+            from tracer_tpu.utils import native
+            if native.available():
+                tris, tri_mats, mats = native.load_obj(path)
+                if verbose:
+                    print(f"no of triangles: {tris.shape[0]}")
+                return tris, tri_mats, mats
+        except Exception:
+            if backend == "native":
+                raise
+    return _load_obj_py(path, verbose)
+
+
+def _load_obj_py(path: str, verbose: bool = False):
+    """Pure-Python OBJ/MTL parser (reference implementation)."""
     vertices: list[list[float]] = []
     tris: list[list[list[float]]] = []
     tri_mats: list[int] = []
