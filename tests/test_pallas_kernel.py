@@ -1,0 +1,47 @@
+"""Pallas fused intersector vs the XLA formulation (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tracer_tpu.ops import intersect, linalg as la
+from tracer_tpu.ops.pallas import intersect_kernel as pk
+
+
+def test_pallas_matches_xla(rng_np):
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (300, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 257
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+
+    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30, interpret=True)
+    ok_x, t_x, i_x, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    okp = np.isfinite(np.asarray(bt))
+    np.testing.assert_array_equal(okp, np.asarray(ok_x))
+    hit = okp
+    np.testing.assert_allclose(np.asarray(bt)[hit], np.asarray(t_x)[hit],
+                               rtol=1e-3, atol=1e-4)
+    agree = np.asarray(bi)[hit] == np.asarray(i_x)[hit]
+    assert agree.mean() > 0.99  # ties only
+
+    hp = pk.any_hit_pallas(dense.coeffs, phi, 4.0, interpret=True)
+    hx = intersect.any_hit(dense, 4.0, ov, dv)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
+
+
+def test_pallas_per_ray_tmax(rng_np):
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (64, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 65
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+    bt, _ = pk.closest_hit_pallas(dense.coeffs, phi, 1e30, interpret=True)
+    tmaxes = jnp.where(jnp.isfinite(bt), bt * 0.5, 1.0)
+    bt2, _ = pk.closest_hit_pallas(dense.coeffs, phi, tmaxes, interpret=True)
+    assert not np.any(np.isfinite(np.asarray(bt2)) & np.isfinite(np.asarray(bt)))

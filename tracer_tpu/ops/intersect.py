@@ -28,6 +28,7 @@ large T.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -124,6 +125,27 @@ def _reintersect(dense: DenseTris, best_i, origin, d, tmax):
                                  rows_t[0:3], rows_t[3:6], rows_t[6:9])
 
 
+# Scenes below this many (padded) triangles run faster through the plain
+# XLA formulation: XLA fuses the one-chunk score matrix into the
+# surrounding pipeline, while pallas_call is a fusion barrier. Above it,
+# the kernel's VMEM-resident chunk loop wins (measured on v5e).
+PALLAS_MIN_TRIS = 1024
+
+
+def _use_pallas(t_pad: int) -> bool:
+    """Fuse via the Pallas kernel on real TPUs for large triangle counts;
+    the XLA formulation stays the default elsewhere (and serves as an
+    independent oracle in tests)."""
+    if os.environ.get("TRACER_NO_PALLAS"):
+        return False
+    if t_pad < PALLAS_MIN_TRIS:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def closest_hit(dense: DenseTris, tmax, origin, d,
                 chunk: int = DEFAULT_CHUNK):
     """Closest-hit query: rays as V3 (3,N)+(3,N) vs all triangles.
@@ -132,6 +154,18 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
     Semantics match mk_fake_bvh.closest_hit (bvh.fut:31-39): global min-t.
     """
     phi_t = ray_features_t(origin, d)
+    if _use_pallas(dense.coeffs.shape[1]):
+        from tracer_tpu.ops.pallas import intersect_kernel as pk
+        best_t, best_i = pk.closest_hit_pallas(dense.coeffs, phi_t,
+                                               jnp.asarray(tmax, jnp.float32))
+        ok = jnp.isfinite(best_t)
+        best_i = jnp.where(ok, best_i, 0)
+        ok2, t, pos, normal = _reintersect(
+            dense, best_i, origin, d,
+            jnp.asarray(tmax, jnp.float32) * (1.0 + 1e-6))
+        ok = ok & ok2
+        return (ok, jnp.where(ok, t, jnp.inf),
+                jnp.where(ok, best_i, -1), pos, normal)
     t_pad = dense.coeffs.shape[1]
     n_chunks = -(-t_pad // chunk)
     tmax = jnp.asarray(tmax, jnp.float32)
@@ -176,6 +210,10 @@ def any_hit(dense: DenseTris, tmax, origin, d,
     """Shadow-ray query: True where any triangle is hit before tmax
     (mk_fake_bvh.any_hit, bvh.fut:41-42)."""
     phi_t = ray_features_t(origin, d)
+    if _use_pallas(dense.coeffs.shape[1]):
+        from tracer_tpu.ops.pallas import intersect_kernel as pk
+        return pk.any_hit_pallas(dense.coeffs, phi_t,
+                                 jnp.asarray(tmax, jnp.float32))
     t_pad = dense.coeffs.shape[1]
     n_chunks = -(-t_pad // chunk)
     tmax = jnp.asarray(tmax, jnp.float32)
