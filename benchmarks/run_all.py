@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""The five BASELINE.md benchmark configs, each in a crash-isolated
+subprocess, emitting one JSON line per config (and BENCH_ALL.json).
+
+  1 cornell-4spp    CornellBox 256x256, 4 spp (parity smoke config)
+  2 cornell-256spp  CornellBox 512x512, 256 spp progressive + NEE
+                    (the headline metric; same path as bench.py)
+  3 mirrorbox       MirrorBox 512x512 (pure specular, deep paths,
+                    occupancy stress — rendered from inside the box)
+  4 spectrum        SpectrumSphere 512x512 spectral (hero-wavelength
+                    dispersion, prism caustics)
+  5 orbit           SpectrumSphereHigh interactive orbit: per-frame
+                    LBVH rebuild + progressive loop
+
+Usage: python benchmarks/run_all.py [--configs 1,2,3] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {root!r})
+import numpy as np
+import tracer_tpu as T
+from tracer_tpu.engine import integrator
+from tracer_tpu.utils.objloader import load_obj
+from tracer_tpu.ops import bvh as bvh_mod
+
+cfg = {cfg!r}
+assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
+tris, tm, mats = load_obj(os.path.join(assets, cfg["scene"] + ".obj"))
+s = T.init(0, cfg["size"], cfg["size"], cfg.get("conf", 0), tris, tm, mats,
+           cam_origin=tuple(cfg.get("origin", (0.0, 0.8, 1.8))))
+w, h = s.sub_dims
+
+if cfg.get("orbit"):
+    import jax, jax.numpy as jnp
+    from tracer_tpu.models import camera as cam_mod
+    # per-frame LBVH rebuild + 1-spp progressive frame while orbiting
+    build = jax.jit(bvh_mod.build)
+    jax.block_until_ready(build(s.scene.tris))          # compile
+    s2 = T.step(s)                                      # compile step
+    frames = cfg["frames"]
+    t0 = time.perf_counter()
+    st = s
+    for k in range(frames):
+        accel = build(st.scene.tris)
+        st = st.replace(scene=st.scene._replace(accel=accel),
+                        cam=cam_mod.turn_camera(st.cam, 0.0, 0.05))
+        st = T.step(st)
+    np.asarray(st.img)
+    dt = time.perf_counter() - t0
+    value = frames / dt
+    out = dict(metric="orbit_fps", value=round(value, 3), unit="frames/s",
+               config=cfg["name"])
+else:
+    import jax
+    spp = cfg["spp"]
+    @jax.jit
+    def chunk(seed, nonce, scene, cam, ambience):
+        out = integrator.render_pooled(
+            seed, nonce, scene, cam, ambience, w, h, s.transmitter_kind,
+            spp, s.render_mode)
+        return out["img"], out["rays_traced"]
+    img, rays = chunk(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    img, rays = chunk(s.seed, s.nonce + np.uint32(spp), s.scene, s.cam,
+                      s.ambience)
+    total_rays = int(rays)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    imean = float(np.asarray(img).mean())
+    out = dict(metric="mrays_per_sec", value=round(total_rays / dt / 1e6, 2),
+               unit="Mrays/s", config=cfg["name"],
+               spp=spp, img_mean=round(imean, 4),
+               samples_per_sec=round(w * h * spp / dt / 1e6, 2))
+print("BENCH_RESULT " + json.dumps(out))
+"""
+
+CONFIGS = {
+    1: dict(name="cornell-4spp", scene="CornellBox-Original", size=256,
+            spp=4),
+    2: dict(name="cornell-256spp", scene="CornellBox-Original", size=512,
+            spp=256),
+    3: dict(name="mirrorbox", scene="MirrorBox", size=512, spp=64,
+            origin=(0.0, 0.8, 0.9)),
+    4: dict(name="spectrum", scene="SpectrumSphere", size=512, spp=64),
+    5: dict(name="orbit", scene="SpectrumSphereHigh", size=1024,
+            orbit=True, frames=8),
+}
+
+QUICK_OVERRIDES = {1: {}, 2: dict(spp=32), 3: dict(size=256, spp=16),
+                   4: dict(size=256, spp=16), 5: dict(size=256, frames=4)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--timeout", type=int, default=900)
+    args = ap.parse_args()
+
+    results = []
+    for cid in [int(c) for c in args.configs.split(",")]:
+        cfg = dict(CONFIGS[cid])
+        if args.quick:
+            cfg.update(QUICK_OVERRIDES.get(cid, {}))
+        code = _WORKER.format(root=ROOT, cfg=cfg)
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=args.timeout)
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("BENCH_RESULT ")), None)
+            if line:
+                res = json.loads(line[len("BENCH_RESULT "):])
+            else:
+                res = dict(config=cfg["name"], error="no result",
+                           stderr=proc.stderr[-400:])
+        except subprocess.TimeoutExpired:
+            res = dict(config=cfg["name"], error="timeout")
+        results.append(res)
+        print(json.dumps(res), flush=True)
+
+    with open(os.path.join(ROOT, "BENCH_ALL.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Aux subsystems: checkpoint/resume, profiling, PNG writer."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import tracer_tpu as T
+from tracer_tpu.utils import checkpoint, profiling, testscenes
+from tracer_tpu.utils.image import argb_to_rgb, write_png
+
+
+def small_state():
+    tris, tm, mats = testscenes.cornell_like()
+    return T.init(0, 8, 8, 0, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+
+
+def test_checkpoint_save_load_resume(tmp_path):
+    s = T.step(small_state())
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save(p, s)
+    restored = checkpoint.load(p, template=small_state())
+    assert int(restored.n_frames) == int(s.n_frames)
+    a = T.step(s)
+    b = T.step(restored)
+    np.testing.assert_array_equal(np.asarray(a.img), np.asarray(b.img))
+
+
+def test_checkpoint_rejects_mismatched_template(tmp_path):
+    s = small_state()
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save(p, s)
+    tris, tm, mats = testscenes.cornell_like()
+    other = T.init(0, 16, 16, 0, tris, tm, mats)
+    try:
+        checkpoint.load(p, template=other)
+        raise AssertionError("expected failure")
+    except (ValueError, TypeError):
+        pass
+
+
+def test_phase_timer():
+    t = profiling.PhaseTimer()
+    x = jnp.arange(8.0)
+    with t.phase("a", sync=x):
+        x = x + 1
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
+    assert "total_s" in t.as_json()
+
+
+def test_compiled_stats():
+    stats = profiling.compiled_stats(lambda x: x @ x, jnp.eye(64))
+    # cost analysis shape varies by backend; just require it not to crash
+    assert stats is not None
+
+
+def test_png_roundtrip_shape(tmp_path):
+    img = np.random.default_rng(0).uniform(size=(5, 7, 3)).astype(np.float32)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IEND" in data
+
+
+def test_argb_roundtrip():
+    fb = np.asarray([[0xFF112233, 0xFF445566]], np.uint32)
+    rgb = argb_to_rgb(fb)
+    assert rgb[0, 0].tolist() == [0x11, 0x22, 0x33]
+    assert rgb[0, 1].tolist() == [0x44, 0x55, 0x66]

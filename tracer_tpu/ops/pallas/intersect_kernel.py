@@ -26,8 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tracer_tpu.ops import shapes
 
-TILE_N = 4096     # rays per tile (lanes); best of the measured sweep
+TILE_N = 2048     # rays per tile (lanes)
 CHUNK_T = 128     # triangles per chunk (sublanes of the score block)
+# VMEM check: p (4C, TILE_N) 4MB + epilogue temps ~6MB + phi/coeffs
+# blocks < 1MB stays under the ~16MB/core budget with double buffering.
 
 
 def _scores(coeffs, phi, tmax):
