@@ -20,6 +20,21 @@ from functools import partial
 import numpy as np
 
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: compiles of the pooled render loop
+    take minutes through the axon remote-compile tunnel; caching makes
+    reruns near-instant (and survives worker restarts)."""
+    import jax
+    cache = os.environ.get("TRACER_COMPILE_CACHE", "/tmp/tracer_jax_cache")
+    if cache:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
 def build_state(size):
     import tracer_tpu as T
     from tracer_tpu.utils.objloader import load_obj
@@ -36,6 +51,7 @@ def build_state(size):
 
 
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from tracer_tpu.engine import integrator

@@ -19,8 +19,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+os.environ.setdefault("TRACER_COMPILE_CACHE", "/tmp/tracer_jax_cache")
+
+
+def _enable_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["TRACER_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def main():
+    _enable_cache()
     ap = argparse.ArgumentParser(description="tracer_tpu LiDAR capture")
     ap.add_argument("-o", "--obj", default=os.path.join(
         os.environ.get("TRACER_ASSETS", "/root/reference/assets"),

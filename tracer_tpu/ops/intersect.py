@@ -39,7 +39,7 @@ from tracer_tpu.ops import shapes, tables
 
 # Triangle-chunk padding granularity.
 _PAD = 128
-DEFAULT_CHUNK = 1024
+DEFAULT_CHUNK = 512
 
 
 class DenseTris(NamedTuple):
