@@ -51,6 +51,22 @@ def test_sample_sharding_averages():
 
 
 @needs8
+def test_pooled_sharded_matches_single():
+    """Tile x sample sharded pooled render == single-chip pooled render
+    over the same sample streams (pmean of per-replica means == global
+    mean because every replica runs the same spp_local)."""
+    s = cornell_state(32, 32)
+    mesh = par.make_mesh(4, 2)
+    got = np.asarray(par.render_pooled_sharded(s, mesh, spp=4))
+    w, h = s.sub_dims
+    out = integrator.render_pooled(
+        s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
+        s.transmitter_kind, 4, s.render_mode)
+    np.testing.assert_allclose(got, np.asarray(out["img"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+@needs8
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

@@ -73,6 +73,45 @@ def sharded_frame_fn(mesh: Mesh, w: int, h: int, transmitter_kind: str,
         check_vma=False)
 
 
+def render_pooled_sharded(s: EngineState, mesh: Mesh, spp: int):
+    """Multi-chip pooled render: the occupancy-optimal wavefront
+    (integrator.render_pooled) sharded over the mesh.
+
+    The spp budget splits across the sample axis (spp must be divisible
+    by it); image rows shard over the tile axis. One pmean over ICI
+    merges the replica means. Returns the (h, w, 3) image.
+    """
+    w, h = s.sub_dims
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if h % n_tile != 0:
+        raise ValueError(f"height {h} not divisible by tile axis {n_tile}")
+    if spp % n_sample != 0:
+        raise ValueError(f"spp {spp} not divisible by sample axis {n_sample}")
+    rows = h // n_tile
+    spp_local = spp // n_sample
+    transmitter_kind = s.transmitter_kind
+    render_mode = s.render_mode
+
+    def body(seed, nonce, scene, cam, ambience):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        si = jax.lax.axis_index(SAMPLE_AXIS)
+        row0 = ti * rows
+        # replica si renders samples [si*spp_local, (si+1)*spp_local):
+        # same streams as a single chip running spp samples in order
+        nonce_local = nonce + si.astype(jnp.uint32) * jnp.uint32(spp_local)
+        out = integrator.render_pooled(
+            seed, nonce_local, scene, cam, ambience, w, rows,
+            transmitter_kind, spp_local, render_mode,
+            row0=row0, full_h=h)
+        return jax.lax.pmean(out["img"], SAMPLE_AXIS)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P()),
+                   out_specs=P(TILE_AXIS), check_vma=False)
+    return jax.jit(fn)(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+
+
 def step_sharded(s: EngineState, mesh: Mesh) -> EngineState:
     """Full progressive step over the mesh — the multi-chip equivalent of
     api.step: one sharded 1-spp frame (x sample-axis replicas), then the
