@@ -98,6 +98,8 @@ def test_lbvh_matches_dense_oracle(rng_np):
         hit = np.asarray(ok_b)
         np.testing.assert_allclose(np.asarray(t_b)[hit], np.asarray(t_d)[hit],
                                    rtol=1e-4, atol=1e-5)
+        # dense returns storage (morton) order: map back via perm
+        i_d = jnp.asarray(np.asarray(dense.perm))[np.where(i_d >= 0, i_d, 0)]
         # same triangle except near-exact-tie lanes
         diff = hit & (np.asarray(i_b) != np.asarray(i_d))
         np.testing.assert_allclose(np.asarray(t_b)[diff],

@@ -17,7 +17,7 @@ def test_pallas_matches_xla(rng_np):
     ov, dv = la.v3_from_array(o), la.v3_from_array(d)
     phi = intersect.ray_features_t(ov, dv)
 
-    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30, interpret=True)
+    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30, dense.chunk_bounds, interpret=True)
     ok_x, t_x, i_x, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
     okp = np.isfinite(np.asarray(bt))
     np.testing.assert_array_equal(okp, np.asarray(ok_x))
@@ -27,7 +27,7 @@ def test_pallas_matches_xla(rng_np):
     agree = np.asarray(bi)[hit] == np.asarray(i_x)[hit]
     assert agree.mean() > 0.99  # ties only
 
-    hp = pk.any_hit_pallas(dense.coeffs, phi, 4.0, interpret=True)
+    hp = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds, interpret=True)
     hx = intersect.any_hit(dense, 4.0, ov, dv)
     np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
 
@@ -41,7 +41,7 @@ def test_pallas_per_ray_tmax(rng_np):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     ov, dv = la.v3_from_array(o), la.v3_from_array(d)
     phi = intersect.ray_features_t(ov, dv)
-    bt, _ = pk.closest_hit_pallas(dense.coeffs, phi, 1e30, interpret=True)
+    bt, _ = pk.closest_hit_pallas(dense.coeffs, phi, 1e30, dense.chunk_bounds, interpret=True)
     tmaxes = jnp.where(jnp.isfinite(bt), bt * 0.5, 1.0)
-    bt2, _ = pk.closest_hit_pallas(dense.coeffs, phi, tmaxes, interpret=True)
+    bt2, _ = pk.closest_hit_pallas(dense.coeffs, phi, tmaxes, dense.chunk_bounds, interpret=True)
     assert not np.any(np.isfinite(np.asarray(bt2)) & np.isfinite(np.asarray(bt)))

@@ -61,8 +61,10 @@ def test_dense_matches_bruteforce(rng_np):
     hit = np.asarray(ok)
     np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(t_b)[hit],
                                rtol=1e-3, atol=1e-4)
+    # dense stores triangles morton-sorted: map back via perm
+    idx = np.asarray(dense.perm)[np.asarray(idx)]
     # indices may differ only where two triangles intersect at ~equal t
-    diff = hit & (np.asarray(idx) != np.asarray(idx_b))
+    diff = hit & (idx != np.asarray(idx_b))
     assert np.allclose(np.asarray(t)[diff], np.asarray(t_b)[diff], rtol=1e-3)
 
 

@@ -84,10 +84,18 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
     if accel == "auto":
         accel = "dense" if t <= DENSE_THRESHOLD else "lbvh"
     tris = jnp.asarray(tris_np)
+    # tri_mat_rows is indexed by the accel's returned triangle index, so
+    # it must follow the accel's storage order: the dense intersector
+    # morton-sorts its triangles (intersect.build_dense), the LBVH maps
+    # hits back to input order itself (bvh.closest_hit perm).
     if accel == "dense":
         acc: Accel = intersect.build_dense(tris)
+        order = np.asarray(acc.perm)[:max(t, 1)]
+        order = np.where(order < max(t, 1), order, 0)
+        row_ix = mat_ix_padded[order] if t > 0 else mat_ix_padded
     elif accel == "lbvh":
         acc = bvh_mod.build(tris)
+        row_ix = mat_ix_padded
     else:
         raise ValueError(f"unknown accel {accel!r}")
     lights = extract_lights(tris_np, tri_mats_np, mat_rows_np)
@@ -95,7 +103,7 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
         tris=tris,
         mat_ix=jnp.asarray(mat_ix_padded, jnp.int32),
         materials=materials.parse_mats(mat_rows_np),
-        tri_mat_rows=jnp.asarray(mat_rows_np[mat_ix_padded]),
+        tri_mat_rows=jnp.asarray(mat_rows_np[row_ix]),
         lights=lights,
         light_table=pack_light_table(lights),
         accel=acc)

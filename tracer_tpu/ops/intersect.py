@@ -49,17 +49,57 @@ class DenseTris(NamedTuple):
             order matches phi = [d, o, o x d, 1]
     tris:   (T_pad, 9) f32 flattened vertices (zeros => degenerate,
             always rejected by the |a| >= eps test)
+    perm:   (T_pad,) int32 — triangles are stored in morton order so
+            consecutive CHUNK-sized groups are spatially tight; perm[i]
+            is the input index of stored triangle i (identity beyond T)
+    chunk_bounds: (n_chunks, 8) f32 — per-chunk AABB [min xyz, max xyz,
+            0, 0]; empty/padded chunks carry an inverted (+inf/-inf) box
+            so the kernel's slab cull always rejects them
     """
     coeffs: jax.Array
     tris: jax.Array
+    perm: jax.Array
+    chunk_bounds: jax.Array
 
 
 def build_dense(tris, pad_to: int = _PAD) -> DenseTris:
-    """Precompute matmul coefficients from (T, 3, 3) triangles."""
+    """Precompute matmul coefficients from (T, 3, 3) triangles.
+
+    Triangles are morton-sorted first (like the LBVH leaf order,
+    bvh.fut:93-97) so the fixed-size chunks the Pallas kernel streams
+    act as an implicit two-level hierarchy: each chunk's AABB is tight
+    and the kernel can skip whole chunk-vs-ray-tile matmuls.
+    """
+    from tracer_tpu.ops import morton as morton_mod
     tris = jnp.asarray(tris, jnp.float32).reshape(-1, 3, 3)
     t = tris.shape[0]
     t_pad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
+
+    if t > 1:
+        tri_min = jnp.min(tris, axis=-2)
+        tri_max = jnp.max(tris, axis=-2)
+        smin = jnp.min(tri_min, axis=0)
+        dims = jnp.maximum(jnp.max(tri_max, axis=0) - smin, 1e-30)
+        centers = ((tri_min + tri_max) * 0.5 - smin) / dims
+        order = jnp.argsort(morton_mod.morton3d(centers)).astype(jnp.int32)
+        tris = tris[order]
+    else:
+        order = jnp.arange(max(t, 1), dtype=jnp.int32)[:t]
+
+    perm = jnp.concatenate([
+        order, jnp.arange(t, t_pad, dtype=jnp.int32)])
     tris = jnp.pad(tris, ((0, t_pad - t), (0, 0), (0, 0)))
+
+    # per-chunk AABBs over the real triangles; padded rows excluded via
+    # +inf/-inf so empty chunks never pass the slab test
+    n_chunks = t_pad // _PAD
+    real = (jnp.arange(t_pad) < t)[:, None]
+    cmin = jnp.where(real, jnp.min(tris, axis=-2), jnp.inf)
+    cmax = jnp.where(real, jnp.max(tris, axis=-2), -jnp.inf)
+    bmin = jnp.min(cmin.reshape(n_chunks, _PAD, 3), axis=1)
+    bmax = jnp.max(cmax.reshape(n_chunks, _PAD, 3), axis=1)
+    chunk_bounds = jnp.concatenate(
+        [bmin, bmax, jnp.zeros((n_chunks, 2), jnp.float32)], axis=1)
 
     a_v = tris[:, 0, :]
     e1 = tris[:, 1, :] - a_v
@@ -80,7 +120,8 @@ def build_dense(tris, pad_to: int = _PAD) -> DenseTris:
         row(axe2, zeros, e2, one * 0),                             # m.e2
         row(axe1, zeros, e1, one * 0),                             # m.e1
     ])  # (4, T_pad, 10)
-    return DenseTris(coeffs=coeffs, tris=tris.reshape(t_pad, 9))
+    return DenseTris(coeffs=coeffs, tris=tris.reshape(t_pad, 9),
+                     perm=perm, chunk_bounds=chunk_bounds)
 
 
 def ray_features_t(origin, d):
@@ -156,8 +197,9 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
     phi_t = ray_features_t(origin, d)
     if _use_pallas(dense.coeffs.shape[1]):
         from tracer_tpu.ops.pallas import intersect_kernel as pk
-        best_t, best_i = pk.closest_hit_pallas(dense.coeffs, phi_t,
-                                               jnp.asarray(tmax, jnp.float32))
+        best_t, best_i = pk.closest_hit_pallas(
+            dense.coeffs, phi_t, jnp.asarray(tmax, jnp.float32),
+            dense.chunk_bounds)
         ok = jnp.isfinite(best_t)
         best_i = jnp.where(ok, best_i, 0)
         ok2, t, pos, normal = _reintersect(
@@ -213,7 +255,8 @@ def any_hit(dense: DenseTris, tmax, origin, d,
     if _use_pallas(dense.coeffs.shape[1]):
         from tracer_tpu.ops.pallas import intersect_kernel as pk
         return pk.any_hit_pallas(dense.coeffs, phi_t,
-                                 jnp.asarray(tmax, jnp.float32))
+                                 jnp.asarray(tmax, jnp.float32),
+                                 dense.chunk_bounds)
     t_pad = dense.coeffs.shape[1]
     n_chunks = -(-t_pad // chunk)
     tmax = jnp.asarray(tmax, jnp.float32)

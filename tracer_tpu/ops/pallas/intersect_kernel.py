@@ -1,23 +1,23 @@
 """Fused Pallas TPU kernel for the dense ray-triangle intersector.
 
 The XLA formulation (ops/intersect.py) materializes the (4T, N) score
-matrix in HBM (537MB for 262k rays x 128 padded triangles) and re-reads
-it through the epilogue + reduction — ~8ms per query on a v5e even for
-a 44-triangle Cornell box. This kernel keeps everything in VMEM:
+matrix in HBM and re-reads it through the epilogue + reduction; this
+kernel keeps everything in VMEM:
 
   grid = (ray tiles, triangle chunks)
-  per step: p = coeffs_chunk (4C,10) @ phi_tile (10,TILE_N) on the MXU,
-  Moller epilogue on the VPU, min/argmin over the C (sublane) axis,
-  running (best_t, best_i) merge across triangle chunks in the output
-  block (revisited per chunk step, classic K-loop accumulation).
+  per step: slab-test the ray tile against the chunk's AABB (triangles
+  are morton-sorted at build, so chunks are spatially tight — an
+  implicit two-level hierarchy); if any lane can still hit, run the
+  MXU (4C,16)@(16,TILE_N) score matmul + Moller epilogue + min/argmin
+  over the C (sublane) axis and merge into the revisited (best_t,
+  best_i) output block. Chunks whose AABB lies behind every lane's
+  current best-t (or tmax) are skipped entirely.
 
-HBM traffic drops to phi reads + (TILE_N,) outputs. The same kernel
-shape serves any_hit (bool accumulate).
+HBM traffic is phi reads + (TILE_N,) outputs; skipped chunks cost a few
+VPU ops. The same shape serves any_hit (bool accumulate + tmax cull).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,16 +27,31 @@ from jax.experimental.pallas import tpu as pltpu
 from tracer_tpu.ops import shapes
 
 TILE_N = 2048     # rays per tile (lanes)
-CHUNK_T = 128     # triangles per chunk (sublanes of the score block)
-# VMEM check: p (4C, TILE_N) 4MB + epilogue temps ~6MB + phi/coeffs
-# blocks < 1MB stays under the ~16MB/core budget with double buffering.
+CHUNK_T = 128     # triangles per chunk; == intersect._PAD so the
+                  # build-time chunk AABBs line up 1:1
+# VMEM: p (4C, TILE_N) 4MB + epilogue temps ~4MB + blocks <1MB.
+
+
+def _split_bf16(x):
+    """Split f32 into (hi, lo) bf16 so hi+lo reproduces ~22 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _scores(coeffs, phi, tmax):
-    """coeffs (4C, 16), phi (16, TILE_N) -> (valid, t) each (C, TILE_N)."""
+    """coeffs (4C, 16), phi (16, TILE_N) -> (valid, t) each (C, TILE_N).
+
+    The determinant matmul runs as manual bf16x3 (hi*hi + hi*lo + lo*hi,
+    f32 accumulation): ~2^-22 relative error — far below the geometric
+    epsilons — at half the MXU passes of Precision.HIGHEST. With K=16
+    padded to the MXU's 128 this matmul IS the kernel's cost floor.
+    """
     c = coeffs.shape[0] // 4
-    p = jnp.dot(coeffs, phi, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    ch, cl = _split_bf16(coeffs)
+    ph, plo = _split_bf16(phi)
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    p = dot(ch, ph) + (dot(ch, plo) + dot(cl, ph))
     a, nt, nu, nv = p[:c], p[c:2 * c], p[2 * c:3 * c], p[3 * c:]
     nondeg = jnp.abs(a) >= shapes.TRI_EPS
     inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
@@ -48,48 +63,82 @@ def _scores(coeffs, phi, tmax):
     return valid, jnp.where(valid, t, jnp.inf)
 
 
-def _closest_kernel(phi_ref, coeffs_ref, tmax_ref, best_t_ref, best_i_ref):
-    ci = pl.program_id(1)
-    valid, t = _scores(coeffs_ref[:], phi_ref[:], tmax_ref[:])
-    loc_t = jnp.min(t, axis=0)
-    loc_i = jnp.argmin(t, axis=0).astype(jnp.int32) + ci * CHUNK_T
+def _chunk_cull(phi, bounds_ref, ci, upper):
+    """Slab test of the tile's rays against chunk ci's AABB
+    (shapes.hit_aabb semantics: tmin0=0, hi inflated by 1+eps).
+    Returns per-lane bool "may hit"."""
+    tmin = jnp.zeros(phi.shape[1:], jnp.float32)
+    tmax_ = upper
+    for k in range(3):
+        dk = phi[k]
+        ok_ = phi[3 + k]
+        inv = 1.0 / dk
+        t0 = (bounds_ref[ci, k] - ok_) * inv
+        t1 = (bounds_ref[ci, 3 + k] - ok_) * inv
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1) * (1.0 + shapes.AABB_EPS)
+        tmin = jnp.maximum(tmin, lo)
+        tmax_ = jnp.minimum(tmax_, hi)
+    return tmax_ > tmin
 
-    @pl.when(ci == 0)
-    def _():
-        best_t_ref[:] = loc_t
-        best_i_ref[:] = loc_i
 
-    @pl.when(ci != 0)
-    def _():
-        better = loc_t < best_t_ref[:]
-        best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
-        best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+def _closest_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref,
+                    bounds_ref, best_t_ref, best_i_ref):
+    """Grid is (ray tiles,) only: the chunk loop runs in-kernel so culled
+    chunks cost ~a slab test, not a full pipeline grid step."""
+    phi = phi_ref[:]
+    tmax = tmax_ref[:]
+    best_t_ref[:] = jnp.full((TILE_N,), jnp.inf, jnp.float32)
+    best_i_ref[:] = jnp.zeros((TILE_N,), jnp.int32)
+
+    def body(ci, _):
+        upper = jnp.minimum(tmax, best_t_ref[:])
+        may_hit = _chunk_cull(phi, bounds_ref, ci, upper)
+
+        @pl.when(jnp.any(may_hit))
+        def _():
+            coeffs = coeffs_ref[pl.ds(ci * 4 * CHUNK_T, 4 * CHUNK_T), :]
+            valid, t = _scores(coeffs, phi, tmax)
+            loc_t = jnp.min(t, axis=0)
+            loc_i = jnp.argmin(t, axis=0).astype(jnp.int32) + ci * CHUNK_T
+            better = loc_t < best_t_ref[:]
+            best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
+            best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _any_kernel(phi_ref, coeffs_ref, tmax_ref, hit_ref):
-    ci = pl.program_id(1)
-    valid, _ = _scores(coeffs_ref[:], phi_ref[:], tmax_ref[:])
-    loc = jnp.any(valid, axis=0)
+def _any_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref, bounds_ref,
+                hit_ref):
+    phi = phi_ref[:]
+    tmax = tmax_ref[:]
+    hit_ref[:] = jnp.zeros((TILE_N,), jnp.bool_)
 
-    @pl.when(ci == 0)
-    def _():
-        hit_ref[:] = loc
+    def body(ci, _):
+        may_hit = _chunk_cull(phi, bounds_ref, ci, tmax) & ~hit_ref[:]
 
-    @pl.when(ci != 0)
-    def _():
-        hit_ref[:] = hit_ref[:] | loc
+        @pl.when(jnp.any(may_hit))
+        def _():
+            coeffs = coeffs_ref[pl.ds(ci * 4 * CHUNK_T, 4 * CHUNK_T), :]
+            valid, _ = _scores(coeffs, phi, tmax)
+            hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _pad_inputs(coeffs, phi_t, tmax, n):
-    """Pad rays to TILE_N multiple, chunks to CHUNK_T multiple, and the
-    feature axis 10 -> 16 (sublane alignment for the MXU operand)."""
+    """Pad rays to TILE_N multiple and the feature axis 10 -> 16
+    (sublane alignment for the MXU operand). Chunking matches the
+    build-time granularity (coeffs T_pad is already a CHUNK_T multiple)."""
     t_pad = coeffs.shape[1]
+    assert t_pad % CHUNK_T == 0, t_pad
     n_pad = -(-n // TILE_N) * TILE_N
-    t_pad2 = -(-t_pad // CHUNK_T) * CHUNK_T
-    coeffs = jnp.pad(coeffs, ((0, 0), (0, t_pad2 - t_pad), (0, 6)))
-    # (4, T, 16) -> (T-chunks stay contiguous) (4*T, 16) grouped per chunk:
-    # rearrange to (n_chunks, 4*CHUNK_T, 16)
-    n_chunks = t_pad2 // CHUNK_T
+    n_chunks = t_pad // CHUNK_T
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, 6)))
     coeffs = coeffs.reshape(4, n_chunks, CHUNK_T, 16)
     coeffs = coeffs.transpose(1, 0, 2, 3).reshape(n_chunks * 4 * CHUNK_T, 16)
     phi = jnp.pad(phi_t, ((0, 6), (0, n_pad - n)))
@@ -98,48 +147,55 @@ def _pad_inputs(coeffs, phi_t, tmax, n):
     return coeffs, phi, tmax, n_pad, n_chunks
 
 
-def closest_hit_pallas(coeffs, phi_t, tmax, *, interpret: bool = False):
-    """coeffs (4, T_pad, 10) from intersect.build_dense, phi_t (10, N),
-    tmax scalar or (N,). Returns (best_t (N,), best_i (N,))."""
+def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
+                       interpret: bool = False):
+    """coeffs (4, T_pad, 10) + chunk_bounds (T_pad/128, 8) from
+    intersect.build_dense, phi_t (10, N), tmax scalar or (N,).
+    Returns (best_t (N,), best_i (N,)) with best_i in storage order."""
+    import functools
     n = phi_t.shape[1]
     coeffs2, phi, tmaxv, n_pad, n_chunks = _pad_inputs(coeffs, phi_t, tmax, n)
-    grid = (n_pad // TILE_N, n_chunks)
+    grid = (n_pad // TILE_N,)
     best_t, best_i = pl.pallas_call(
-        _closest_kernel,
+        functools.partial(_closest_kernel, n_chunks),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((16, TILE_N), lambda ri, ci: (0, ri)),
-            pl.BlockSpec((4 * CHUNK_T, 16), lambda ri, ci: (ci, 0)),
-            pl.BlockSpec((TILE_N,), lambda ri, ci: (ri,)),
+            pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # all chunk coeffs
+            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_N,), lambda ri, ci: (ri,)),
-            pl.BlockSpec((TILE_N,), lambda ri, ci: (ri,)),
+            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
+            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad,), jnp.float32),
             jax.ShapeDtypeStruct((n_pad,), jnp.int32),
         ],
         interpret=interpret,
-    )(phi, coeffs2, tmaxv)
+    )(phi, coeffs2, tmaxv, chunk_bounds)
     return best_t[:n], best_i[:n]
 
 
-def any_hit_pallas(coeffs, phi_t, tmax, *, interpret: bool = False):
+def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
+                   interpret: bool = False):
     """Shadow-query variant. Returns hit (N,) bool."""
+    import functools
     n = phi_t.shape[1]
     coeffs2, phi, tmaxv, n_pad, n_chunks = _pad_inputs(coeffs, phi_t, tmax, n)
-    grid = (n_pad // TILE_N, n_chunks)
+    grid = (n_pad // TILE_N,)
     hit = pl.pallas_call(
-        _any_kernel,
+        functools.partial(_any_kernel, n_chunks),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((16, TILE_N), lambda ri, ci: (0, ri)),
-            pl.BlockSpec((4 * CHUNK_T, 16), lambda ri, ci: (ci, 0)),
-            pl.BlockSpec((TILE_N,), lambda ri, ci: (ri,)),
+            pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # all chunk coeffs
+            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N,), lambda ri, ci: (ri,)),
+        out_specs=pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
         interpret=interpret,
-    )(phi, coeffs2, tmaxv)
+    )(phi, coeffs2, tmaxv, chunk_bounds)
     return hit[:n]

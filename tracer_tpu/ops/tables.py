@@ -16,8 +16,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Above this row count the one-hot matrix costs more than the gather.
-ONEHOT_MAX_ROWS = 4096
+# Above this row count the (M, N) one-hot matrix costs more than the
+# gather: at N=262k lanes, M=512 already materializes 537MB per fetch.
+ONEHOT_MAX_ROWS = 512
 
 
 def one_hot_t(ix, m: int):
