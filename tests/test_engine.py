@@ -260,3 +260,30 @@ def test_checkpoint_roundtrip(tmp_path):
     s2 = T.step(s)
     s2r = T.step(restored)
     np.testing.assert_array_equal(np.asarray(s2.img), np.asarray(s2r.img))
+
+
+def test_flash_transmitter_adds_light():
+    """conf 1 adds a blackbody flash at the camera: with the ceiling light
+    removed, a flash-lit render must be substantially brighter than an
+    unlit one (gen_transmitter, camera.fut:112-122)."""
+    tris, tm, mats = testscenes.cornell_like()
+    mats = mats.copy()
+    mats[4, 16:28] = [-1, 0] * 6  # kill the area light's emission
+    dark = T.init(0, 16, 16, 0, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+    lit = T.init(0, 16, 16, 1, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+    img_dark = np.asarray(T.sample_n_frames(dark, 24))
+    img_lit = np.asarray(T.sample_n_frames(lit, 24))
+    assert img_dark.mean() < 1e-4          # nothing emits
+    assert img_lit.mean() > 10 * max(img_dark.mean(), 1e-6)
+
+
+def test_scanning_transmitter_lights_lidar():
+    """conf 2's scanning cone is the only light for LiDAR returns when
+    scene emission is removed; returns must still appear (active sensing)."""
+    tris, tm, mats = testscenes.cornell_like()
+    mats = mats.copy()
+    mats[4, 16:28] = [-1, 0] * 6
+    s = T.init(0, 16, 16, 2, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+    _, pts = T.sample_points_n(s, 8)
+    pts = np.asarray(pts)
+    assert (pts[..., 3] > 0).mean() > 0.3

@@ -70,3 +70,17 @@ def test_pooled_sharded_matches_single():
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+@needs8
+def test_points_sharded_matches_single():
+    tris, tm, mats = testscenes.cornell_like()
+    s = T.init(0, 16, 16, 2, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+    mesh = par.make_mesh(4, 2)
+    got = np.asarray(par.sample_points_sharded(s, mesh, spp=4))
+    _, want = T.sample_points_n(s, 4)
+    want = np.asarray(want)
+    np.testing.assert_allclose(got[..., :3], want[..., :3],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[..., 3], want[..., 3],
+                               rtol=1e-4, atol=1e-6)

@@ -112,6 +112,53 @@ def render_pooled_sharded(s: EngineState, mesh: Mesh, spp: int):
     return jax.jit(fn)(s.seed, s.nonce, s.scene, s.cam, s.ambience)
 
 
+def sample_points_sharded(s: EngineState, mesh: Mesh, spp: int):
+    """Multi-chip LiDAR capture: pooled wavefront with per-pixel
+    closest-return merge. Rows shard over the tile axis; the spp budget
+    splits over the sample axis and replicas merge with a distance
+    argmin (pmin over ICI). Returns (h, w, 4) [x, y, z, intensity]."""
+    from tracer_tpu.ops import linalg as la
+
+    w, h = s.sub_dims
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if h % n_tile != 0 or spp % n_sample != 0:
+        raise ValueError("h/spp not divisible by mesh axes")
+    rows = h // n_tile
+    spp_local = spp // n_sample
+    transmitter_kind = s.transmitter_kind
+    render_mode = s.render_mode
+
+    def body(seed, nonce, scene, cam, ambience):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        si = jax.lax.axis_index(SAMPLE_AXIS)
+        row0 = ti * rows
+        nonce_local = nonce + si.astype(jnp.uint32) * jnp.uint32(spp_local)
+        out = integrator.render_pooled(
+            seed, nonce_local, scene, cam, ambience, w, rows,
+            transmitter_kind, spp_local, render_mode,
+            row0=row0, full_h=h, with_points=True)
+        pos, dist, inten = out["points"]
+        # closest return across sample replicas: min distance wins
+        # (the merge in lib.fut:48-51 is associative)
+        best_d = jax.lax.pmin(dist, SAMPLE_AXIS)
+        mine = dist <= best_d
+        pos = jax.lax.pmax(jnp.where(mine, pos, -jnp.inf), SAMPLE_AXIS)
+        inten = jax.lax.pmax(jnp.where(mine, inten, -jnp.inf), SAMPLE_AXIS)
+        has = jnp.isfinite(best_d)
+        pts = jnp.concatenate(
+            [la.v3_to_array(jnp.where(has, pos, -1.0)),
+             jnp.where(has, inten, 0.0)[:, None]], axis=-1)
+        # the per-replica intensity scale is 1/spp_local; correct to 1/spp
+        pts = pts.at[:, 3].multiply(spp_local / spp)
+        return pts.reshape(rows, w, 4)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P()),
+                   out_specs=P(TILE_AXIS), check_vma=False)
+    return jax.jit(fn)(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+
+
 def step_sharded(s: EngineState, mesh: Mesh) -> EngineState:
     """Full progressive step over the mesh — the multi-chip equivalent of
     api.step: one sharded 1-spp frame (x sample-axis replicas), then the
