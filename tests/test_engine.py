@@ -287,3 +287,35 @@ def test_scanning_transmitter_lights_lidar():
     _, pts = T.sample_points_n(s, 8)
     pts = np.asarray(pts)
     assert (pts[..., 3] > 0).mean() > 0.3
+
+
+def test_point_light_api():
+    """add_point_light: a point light illuminates an otherwise dark box
+    (the #pointlight branch of the light table, light.fut:10)."""
+    from tracer_tpu.models import scene as SM
+    from tracer_tpu.ops import spectrum as sp
+    tris, tm, mats = testscenes.cornell_like()
+    mats = mats.copy()
+    mats[4, 16:28] = [-1, 0] * 6  # no area light
+    s = T.init(0, 12, 12, 0, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
+    dark = np.asarray(T.sample_n_frames(s, 16))
+    lit_scene = SM.add_point_light(
+        s.scene, (0.0, 1.5, 0.3),
+        sp.map_intensities(lambda i: i * 8.0, sp.uniform_spectrum(1.0)))
+    s2 = s.replace(scene=lit_scene)
+    lit = np.asarray(T.sample_n_frames(s2, 16))
+    assert dark.mean() < 1e-4
+    assert lit.mean() > 0.01
+
+
+def test_prism_scene_disperses():
+    """The prism golden scene produces finite, colored output with the
+    dispersion hack active (hero wavelengths refract differently)."""
+    tris, tm, mats = testscenes.prism_scene()
+    s = T.init(0, 24, 24, 0, tris, tm, mats, cam_origin=(0.0, 0.9, 2.6))
+    img = np.asarray(T.sample_n_frames(s, 24))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    # channel separation somewhere in the image (spectral, not grayscale)
+    sat = np.abs(img - img.mean(axis=-1, keepdims=True)).max()
+    assert sat > 0.01

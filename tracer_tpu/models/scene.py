@@ -109,6 +109,27 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
         accel=acc)
 
 
+def add_point_light(scene: Scene, pos, emission) -> Scene:
+    """Append a #pointlight (light.fut:10) to the scene's light set.
+
+    The reference's loaders never emit point lights but its light type
+    supports them; this is the API-level equivalent. pos: (3,) world
+    position; emission: (6, 2) spectrum knots."""
+    pos = np.asarray(pos, np.float32)
+    tri = np.broadcast_to(pos, (1, 3, 3)).copy()  # vertex 0 holds pos
+    lights = lights_mod.Lights(
+        kind=jnp.concatenate([scene.lights.kind,
+                              jnp.asarray([lights_mod.KIND_POINT],
+                                          jnp.int32)]),
+        tri=jnp.concatenate([scene.lights.tri, jnp.asarray(tri)]),
+        theta=jnp.concatenate([scene.lights.theta,
+                               jnp.zeros((1,), jnp.float32)]),
+        emission=jnp.concatenate(
+            [scene.lights.emission,
+             jnp.asarray(emission, jnp.float32).reshape(1, 6, 2)]))
+    return scene._replace(lights=lights, light_table=pack_light_table(lights))
+
+
 def pack_light_table(lights: lights_mod.Lights) -> jax.Array:
     """Pack the light SoA into one (L, 23) f32 table so per-lane light
     selection is a single one-hot matmul row fetch:

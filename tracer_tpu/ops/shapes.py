@@ -41,6 +41,13 @@ def point_at_param(origin, d, t):
     return origin + la.scale(t, d)
 
 
+def mkrect(corners):
+    """Two triangles covering the quad corners[0..3] (shapes.fut:51-57)."""
+    c = jnp.asarray(corners, jnp.float32)
+    return jnp.stack([jnp.stack([c[0], c[1], c[2]]),
+                      jnp.stack([c[2], c[3], c[0]])])
+
+
 def triangle_normal(tri):
     """Unnormalized e1 x e2 would do for tests; reference normalizes
     (shapes.fut:59-62)."""

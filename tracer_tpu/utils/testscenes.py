@@ -66,6 +66,51 @@ def cornell_like():
     return (np.asarray(tris, np.float32), np.asarray(tm, np.uint32), mats)
 
 
+def prism_scene():
+    """Glass-prism dispersion scene in the spirit of the reference's
+    golden prism-dispersion.png (README.org:8): a bright narrow strip
+    light shines through a triangular glass prism onto the floor; the
+    wavelength-dependent refractive index (material.fut:38-41 dispersion
+    hack) fans the hero wavelengths into a rainbow caustic."""
+    white, red = (0.73, 0.71, 0.68), (0.63, 0.065, 0.05)
+    mats = np.stack([
+        mat_row(kd=white),                                    # 0 walls
+        mat_row(kd=red),                                      # 1 left wall
+        # glass: pure specular transmission, strong dispersion
+        mat_row(kd=(0, 0, 0), roughness=0.0, metalness=0.0,
+                ref_ix=1.6, opacity=0.0),                     # 2 prism
+        mat_row(ke=(60.0, 60.0, 60.0)),                       # 3 strip light
+    ])
+    tris, tm = [], []
+
+    def add(ts, m):
+        tris.extend(ts)
+        tm.extend([m] * len(ts))
+
+    add(quad([-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1]), 0)    # floor
+    add(quad([-1, 2, 1], [-1, 2, -1], [1, 2, -1], [1, 2, 1]), 0)    # ceiling
+    add(quad([-1, 0, -1], [1, 0, -1], [1, 2, -1], [-1, 2, -1]), 0)  # back
+    add(quad([-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1]), 1)  # left
+    add(quad([1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1]), 0)      # right
+
+    # triangular prism: apex-up cross-section in xy, extruded along z
+    a0, a1 = [-0.35, 0.7, 0], [0.35, 0.7, 0]   # base corners (x, y)
+    ap = [0.0, 1.35, 0]                        # apex
+    z0, z1 = -0.35, 0.35
+    p = lambda v, z: [v[0], v[1], z]
+    add([[p(a0, z0), p(a1, z0), p(ap, z0)]], 2)                    # cap z0
+    add([[p(a1, z1), p(a0, z1), p(ap, z1)]], 2)                    # cap z1
+    add(quad(p(a0, z0), p(a0, z1), p(ap, z1), p(ap, z0)), 2)       # left face
+    add(quad(p(a1, z1), p(a1, z0), p(ap, z0), p(ap, z1)), 2)       # right face
+    add(quad(p(a0, z1), p(a0, z0), p(a1, z0), p(a1, z1)), 2)       # bottom
+
+    # narrow bright strip light high on the left, aimed across the prism
+    add(quad([-0.95, 1.9, -0.1], [-0.95, 1.9, 0.1],
+             [-0.75, 1.98, 0.1], [-0.75, 1.98, -0.1]), 3)
+
+    return (np.asarray(tris, np.float32), np.asarray(tm, np.uint32), mats)
+
+
 def single_triangle(mat=None):
     """Minimal scene: one triangle at z=-2 facing +z."""
     if mat is None:
