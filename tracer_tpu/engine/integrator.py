@@ -190,13 +190,40 @@ def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 # The reference (and our per-frame path above) runs spp frames of a
 # <=16-bounce loop; Russian roulette kills most paths after ~2 bounces
 # (measured ~2.2 mean on Cornell), so late iterations run mostly-dead
-# lane pools: ~14% useful work. Here each lane immediately starts its
-# OWN next camera sample when its path dies, so the pool stays ~100%
+# lane pools: ~14% useful work. Here each lane immediately starts a
+# fresh camera sample when its path dies, so the pool stays ~100%
 # occupied and total iterations drop from spp*16 to ~spp*mean_bounces
-# (+ a tail). Lane k's sample s uses the stream (seed, nonce+s, lane k) —
-# exactly the same streams successive 1-spp frames would use, so pooled
-# rendering reproduces the same camera samples as the per-frame path
-# (sum order per pixel is also sample order).
+# (+ a tail).
+#
+# ROTATION SCHEDULE. Binding lane k to pixel k for all spp samples makes
+# the pool tail-bound on scenes with heterogeneous path lengths (e.g.
+# SpectrumSphere: sky pixels terminate in 1 bounce, glass pixels run
+# ~10; sky lanes finish their quota early and idle while glass lanes
+# grind — measured 11% occupancy). Instead, lane k's s-th sample works
+# pixel (k + s*R) mod n for a fixed stride R coprime with n: each lane's
+# total load averages over ~spp quasi-random pixels and concentrates at
+# the mean, so all lanes finish together. The per-(pixel, sample) RNG
+# stream is (seed, nonce+s, pixel-id) regardless of which lane runs it —
+# identical samples, in the same per-pixel order, as per-frame rendering.
+#
+# Accumulation under rotation cannot use a per-lane accumulator (the
+# lane's pixel changes per sample) and scatter-adds are slow on TPU; a
+# sample that ends at round s instead writes its reduced result into row
+# s of fixed (spp, n) stores via a one-hot row mask (dense VPU op). At
+# round s the lane->pixel map is a rotation by s*R, so the final
+# per-pixel binning is spp static jnp.rolls — no gather/scatter anywhere.
+
+
+def _rotation_stride(n: int) -> int:
+    """Golden-ratio stride coprime with n: consecutive samples of a lane
+    land on well-separated pixels, so per-lane load ~ the mean."""
+    import math
+    if n <= 2:
+        return 1
+    r = max(1, int(n * 0.6180339887)) | 1
+    while math.gcd(r, n) != 1:
+        r += 2
+    return r % n
 
 def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                   ambience, w: int, h: int, transmitter_kind: str,
@@ -217,12 +244,10 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     n = w * h
     conf = cam.conf
     n_channels = conf.sensor_color.shape[0]
+    color_mode = render_mode != "distance"
+    stride = _rotation_stride(n)
     lane = jnp.arange(n, dtype=jnp.int32)
-    jx = (lane % w).astype(jnp.float32)
-    iy_row = (lane // w).astype(jnp.float32) + jnp.asarray(row0, jnp.float32)
-    iy = full_h - iy_row - 1.0
-    lane_ids = (lane.astype(jnp.uint32)
-                + jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
+    srow = jnp.arange(spp, dtype=jnp.int32)[:, None]  # store row ids
 
     ambience = jnp.asarray(ambience, jnp.float32)
     seed = jnp.asarray(seed, jnp.uint32)
@@ -232,27 +257,35 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     zero_n = jnp.zeros((n,), jnp.float32)
     init = dict(
         rng=jnp.zeros((n,), jnp.uint32),
-        done=jnp.zeros((n,), jnp.int32),      # samples completed
+        done=jnp.zeros((n,), jnp.int32),      # samples completed by lane
         active=jnp.zeros((n,), bool),         # a path is in flight
         bounce=jnp.zeros((n,), jnp.int32),
+        # pixel the lane works; pre-advanced so round 0 lands on pixel=lane
+        pix=(lane - jnp.int32(stride)) % jnp.int32(n),
         o=jnp.zeros((3, n), jnp.float32),
         d=jnp.zeros((3, n), jnp.float32),
         po=jnp.zeros((3, n), jnp.float32),    # primary ray (for points)
         pd=jnp.zeros((3, n), jnp.float32),
         wavelen=zero_n,
-        colw=jnp.zeros((3, n), jnp.float32),  # channel color weight
+        chan=jnp.zeros((n,), jnp.int32),      # sample's sensor channel
         cum_dist=zero_n,
         sample_rad=zero_n,                    # per-sample radiance sum
         sample_min_d=jnp.full((n,), jnp.inf), # per-sample windowed min dist
-        accum=jnp.zeros((3, n), jnp.float32),  # color accumulator
-        dist_has=jnp.zeros((n,), bool),       # distance-mode pixel recorded
-        dist_hue=zero_n,
-        best_d=jnp.full((n,), jnp.inf),       # LiDAR closest return
-        best_pos=jnp.full((3, n), -1.0),
-        best_int=zero_n,
         rays=jnp.int32(0),
         it=jnp.int32(0),
     )
+    # per-round stores: row s holds the reduced result of the lane's s-th
+    # sample; binned into pixels by static rolls after the loop
+    if color_mode:
+        init["rad_st"] = jnp.zeros((spp, n), jnp.float32)
+        init["chan_st"] = jnp.zeros((spp, n), jnp.int32)
+    if not color_mode or with_points:
+        init["mind_st"] = jnp.full((spp, n), jnp.inf, jnp.float32)
+    if with_points:
+        init["sample_pos"] = jnp.zeros((3, n), jnp.float32)
+        init["sample_int"] = zero_n
+        init["pos_st"] = jnp.zeros((3, spp, n), jnp.float32)
+        init["int_st"] = jnp.zeros((spp, n), jnp.float32)
 
     max_iters = spp * PATH_LEN + PATH_LEN + 4
 
@@ -261,48 +294,67 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 
     def start_samples(c):
         """Refill idle lanes that still owe samples with a fresh camera
-        sample (wavelength + channel + primary ray)."""
+        sample (wavelength + channel + primary ray) on the lane's next
+        rotation pixel."""
         start = (~c["active"]) & (c["done"] < spp)
+        pix_adv = c["pix"] + jnp.int32(stride)
+        pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
+        pix = jnp.where(start, pix_adv, c["pix"])
+
+        jx = (pix % w).astype(jnp.float32)
+        iy_row = (pix // w).astype(jnp.float32) + jnp.asarray(
+            row0, jnp.float32)
+        iy = full_h - iy_row - 1.0  # reference flips i (integrator.fut:89)
+        pix_ids = (pix.astype(jnp.uint32)
+                   + jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
+
         sample_idx = c["done"].astype(jnp.uint32)
         # identical streams to per-frame rendering with nonce+sample_idx:
-        # make_streams(seed, nonce+s, lane) vectorized over per-lane s
+        # make_streams(seed, nonce+s, pixel) vectorized over per-lane s
         base = prng.hash_u32(seed ^ prng.hash_u32(nonce + sample_idx))
-        fresh = prng.hash_u32(lane_ids ^ base)
+        fresh = prng.hash_u32(pix_ids ^ base)
         rng = jnp.where(start, fresh, c["rng"])
 
         rng2, wavelen, channel = cam_mod.sample_wavelength(rng, conf)
         rng2, o_new, d_new = cam_mod.sample_ray(
             rng2, cam, (jnp.float32(w), jnp.float32(full_h)), jx, iy)
-        colw = jnp.zeros((3, n), jnp.float32)
-        for ci in range(n_channels):
-            colw = jnp.where(channel == ci, conf.sensor_color[ci][:, None],
-                             colw)
 
         upd = lambda old, new: jnp.where(start, new, old)
-        return dict(c, rng=upd(c["rng"], rng2),
-                    active=c["active"] | start,
-                    bounce=upd(c["bounce"], 0),
-                    o=upd(c["o"], o_new), d=upd(c["d"], d_new),
-                    po=upd(c["po"], o_new), pd=upd(c["pd"], d_new),
-                    wavelen=upd(c["wavelen"], wavelen),
-                    colw=upd(c["colw"], colw),
-                    cum_dist=upd(c["cum_dist"], 0.0),
-                    sample_rad=upd(c["sample_rad"], 0.0),
-                    sample_min_d=upd(c["sample_min_d"], jnp.inf))
+        out = dict(c, rng=upd(c["rng"], rng2),
+                   active=c["active"] | start,
+                   bounce=upd(c["bounce"], 0),
+                   pix=pix,
+                   o=upd(c["o"], o_new), d=upd(c["d"], d_new),
+                   po=upd(c["po"], o_new), pd=upd(c["pd"], d_new),
+                   wavelen=upd(c["wavelen"], wavelen),
+                   chan=upd(c["chan"], channel),
+                   cum_dist=upd(c["cum_dist"], 0.0),
+                   sample_rad=upd(c["sample_rad"], 0.0),
+                   sample_min_d=upd(c["sample_min_d"], jnp.inf))
+        if with_points:
+            out["sample_pos"] = upd(c["sample_pos"], 0.0)
+            out["sample_int"] = upd(c["sample_int"], 0.0)
+        return out
 
     def finish_samples(c, ended):
-        """Close out lanes whose path just died: fold the sample into the
-        pixel accumulators."""
-        # color: accumulate radiance * channel color
-        accum = c["accum"] + jnp.where(ended, c["sample_rad"], 0.0) * c["colw"]
-        # distance visualization: first sample with a windowed return wins
-        got = ended & (~c["dist_has"]) & jnp.isfinite(c["sample_min_d"])
-        hue = 0.85 * (c["sample_min_d"] - LIDAR_MIN_D) / (LIDAR_MAX_D - LIDAR_MIN_D)
-        dist_hue = jnp.where(got, hue, c["dist_hue"])
-        dist_has = c["dist_has"] | got
-        return dict(c, accum=accum, dist_hue=dist_hue, dist_has=dist_has,
-                    done=c["done"] + ended.astype(jnp.int32),
-                    active=c["active"] & ~ended)
+        """Close out lanes whose path just died: write the sample's
+        reduced result into store row done (its sample index)."""
+        sel = (srow == c["done"][None, :]) & ended[None, :]  # (spp, n)
+        out = dict(c, done=c["done"] + ended.astype(jnp.int32),
+                   active=c["active"] & ~ended)
+        if color_mode:
+            out["rad_st"] = jnp.where(sel, c["sample_rad"][None, :],
+                                      c["rad_st"])
+            out["chan_st"] = jnp.where(sel, c["chan"][None, :], c["chan_st"])
+        if "mind_st" in c:
+            out["mind_st"] = jnp.where(sel, c["sample_min_d"][None, :],
+                                       c["mind_st"])
+        if with_points:
+            out["pos_st"] = jnp.where(sel[None], c["sample_pos"][:, None, :],
+                                      c["pos_st"])
+            out["int_st"] = jnp.where(sel, c["sample_int"][None, :],
+                                      c["int_st"])
+        return out
 
     def body(c):
         c = start_samples(c)
@@ -331,21 +383,17 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         sample_rad = c["sample_rad"] + radiance
         in_window = ((radiance > 0) & (rec_dist > LIDAR_MIN_D)
                      & (rec_dist < LIDAR_MAX_D) & alive)
-        sample_min_d = jnp.where(in_window & (rec_dist < c["sample_min_d"]),
-                                 rec_dist, c["sample_min_d"])
+        closer = in_window & (rec_dist < c["sample_min_d"])
+        sample_min_d = jnp.where(closer, rec_dist, c["sample_min_d"])
 
+        upd_pts = {}
         if with_points:
             # lib.fut:40-47: intensity scaled by 1/spp before the >0 test
-            pt_valid = ((radiance * spp_factor > 0)
-                        & (rec_dist > LIDAR_MIN_D) & (rec_dist < LIDAR_MAX_D)
-                        & alive)
-            better = pt_valid & (rec_dist < c["best_d"])
-            best_d = jnp.where(better, rec_dist, c["best_d"])
-            best_pos = jnp.where(better, c["po"] + rec_dist * c["pd"],
-                                 c["best_pos"])
-            best_int = jnp.where(better, radiance * spp_factor, c["best_int"])
-        else:
-            best_d, best_pos, best_int = c["best_d"], c["best_pos"], c["best_int"]
+            # (scale-invariant for the >0 comparison, so `closer` agrees)
+            upd_pts["sample_pos"] = jnp.where(
+                closer, c["po"] + rec_dist * c["pd"], c["sample_pos"])
+            upd_pts["sample_int"] = jnp.where(
+                closer, radiance * spp_factor, c["sample_int"])
 
         # BSDF bounce + RR
         rng, wi, bsdf, pdf_val, pdf_kind = materials.sample_dir(
@@ -368,29 +416,90 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                  cum_dist=cum_dist,
                  sample_rad=sample_rad,
                  sample_min_d=sample_min_d,
-                 best_d=best_d, best_pos=best_pos, best_int=best_int,
                  rays=c["rays"] + 3 * jnp.sum(alive).astype(jnp.int32),
-                 it=c["it"] + 1)
+                 it=c["it"] + 1, **upd_pts)
         return finish_samples(c, ended)
 
     out = jax.lax.while_loop(cond, body, init)
 
-    if render_mode == "distance":
-        rgb = hue_to_rgb(out["dist_hue"])
-        img_t = jnp.where(out["dist_has"], rgb, 0.0)
-        # distance-mode "accumulation" keeps the first frame with a return
-        # (integrator.fut:188-189), which is exactly dist_hue — no /spp.
+    # ------------------------------------------------------------------
+    # Binning: store row s maps lane k -> pixel (k + s*stride) mod n,
+    # i.e. pixel values are roll(row_s, s*stride). All shifts static-
+    # incremental; accumulation per pixel runs in sample order, matching
+    # the reference's per-frame sum order.
+    def step_shift(shift):
+        shift = shift + jnp.int32(stride)
+        return shift - jnp.where(shift >= n, jnp.int32(n), 0)
+
+    result = {}
+    if color_mode:
+        sensor_color = conf.sensor_color  # (C, 3)
+
+        def bin_color(s_idx, carry):
+            acc, shift = carry
+            row = jax.lax.dynamic_index_in_dim(out["rad_st"], s_idx, 0,
+                                               keepdims=False)
+            ch = jax.lax.dynamic_index_in_dim(out["chan_st"], s_idx, 0,
+                                              keepdims=False)
+            contrib = jnp.zeros((3, n), jnp.float32)
+            for ci in range(n_channels):
+                contrib = contrib + sensor_color[ci][:, None] * jnp.where(
+                    ch == ci, row, 0.0)
+            return acc + jnp.roll(contrib, shift, axis=1), step_shift(shift)
+
+        acc, _ = jax.lax.fori_loop(
+            0, spp, bin_color,
+            (jnp.zeros((3, n), jnp.float32), jnp.int32(0)))
+        img_t = acc * (jnp.float32(n_channels) * spp_factor)
     else:
-        img_t = out["accum"] * (jnp.float32(n_channels) * spp_factor)
+        # distance visualization: first sample with a windowed return wins
+        # (integrator.fut:188-189) — sample order is store-row order.
+        def bin_dist(s_idx, carry):
+            has, dmin, shift = carry
+            row = jax.lax.dynamic_index_in_dim(out["mind_st"], s_idx, 0,
+                                               keepdims=False)
+            rolled = jnp.roll(row, shift)
+            got = (~has) & jnp.isfinite(rolled)
+            return (has | got, jnp.where(got, rolled, dmin),
+                    step_shift(shift))
+
+        has, dmin, _ = jax.lax.fori_loop(
+            0, spp, bin_dist,
+            (jnp.zeros((n,), bool), jnp.full((n,), jnp.inf), jnp.int32(0)))
+        hue = 0.85 * (dmin - LIDAR_MIN_D) / (LIDAR_MAX_D - LIDAR_MIN_D)
+        rgb = hue_to_rgb(jnp.where(has, hue, 0.0))
+        img_t = jnp.where(has, rgb, 0.0)
     img = la.v3_to_array(img_t).reshape(h, w, 3)
 
-    result = dict(img=img, rays_traced=out["rays"])
+    result["img"] = img
+    result["rays_traced"] = out["rays"]
+    result["iters"] = out["it"]  # occupancy diagnostic: ideal ~= rays/(3n)
     if with_points:
-        has = jnp.isfinite(out["best_d"])
+        # closest return per pixel across all samples (lib.fut:40-47):
+        # strict-min in sample order, like the old cross-sample merge
+        def bin_points(s_idx, carry):
+            bd, bp, bi, shift = carry
+            d_row = jnp.roll(jax.lax.dynamic_index_in_dim(
+                out["mind_st"], s_idx, 0, keepdims=False), shift)
+            i_row = jnp.roll(jax.lax.dynamic_index_in_dim(
+                out["int_st"], s_idx, 0, keepdims=False), shift)
+            p_row = jnp.roll(jax.lax.dynamic_index_in_dim(
+                out["pos_st"], s_idx, 1, keepdims=False), shift, axis=1)
+            better = d_row < bd
+            return (jnp.where(better, d_row, bd),
+                    jnp.where(better, p_row, bp),
+                    jnp.where(better, i_row, bi),
+                    step_shift(shift))
+
+        best_d, best_pos, best_int, _ = jax.lax.fori_loop(
+            0, spp, bin_points,
+            (jnp.full((n,), jnp.inf), jnp.full((3, n), -1.0),
+             jnp.zeros((n,), jnp.float32), jnp.int32(0)))
+        has = jnp.isfinite(best_d)
         result["points"] = (
-            jnp.where(has, out["best_pos"], -1.0),
-            jnp.where(has, out["best_d"], jnp.inf),
-            jnp.where(has, out["best_int"], 0.0))
+            jnp.where(has, best_pos, -1.0),
+            jnp.where(has, best_d, jnp.inf),
+            jnp.where(has, best_int, 0.0))
     return result
 
 

@@ -26,6 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tracer_tpu.ops import shapes
 
+# The kernel holds all chunk coefficients VMEM-resident plus ~12MB of
+# (C, TILE_N) epilogue temporaries; the default 16MB scoped-vmem budget
+# overflows around ~6k triangles (observed 17.57M at 8716 tris). v5e has
+# 128MB of VMEM — raise the cap so big scenes compile.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 TILE_N = 2048     # rays per tile (lanes)
 CHUNK_T = 128     # triangles per chunk; == intersect._PAD so the
                   # build-time chunk AABBs line up 1:1
@@ -173,6 +179,9 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
             jax.ShapeDtypeStruct((n_pad,), jnp.float32),
             jax.ShapeDtypeStruct((n_pad,), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(phi, coeffs2, tmaxv, chunk_bounds)
     return best_t[:n], best_i[:n]
@@ -196,6 +205,9 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
         ],
         out_specs=pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(phi, coeffs2, tmaxv, chunk_bounds)
     return hit[:n]
