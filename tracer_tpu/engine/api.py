@@ -73,11 +73,13 @@ def init(seed: int, h: int, w: int, cam_conf_id: int,
 @jax.jit
 def _step_core(s: EngineState) -> EngineState:
     w, h = s.sub_dims
-    samples = integrator.sample_pixels(
+    # a 1-spp frame through the pooled wavefront: for frames above the
+    # pool cap the lane pool cycles over pixels (integrator.POOL_TARGET),
+    # so dead lanes refill with queued pixels instead of idling through
+    # the bounce tail — ~4x fewer trace queries on a 1024x1024 frame
+    img_new = integrator.render_pooled(
         s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
-        s.transmitter_kind)
-    img_new = integrator.visualize(samples, s.render_mode,
-                                   s.cam.conf.sensor_color, w, h)
+        s.transmitter_kind, 1, s.render_mode)["img"]
     accum = s.mode & (s.n_frames > 0)
     if s.render_mode == sensors.RENDER_DISTANCE:
         merged = integrator.accumulate_distance(s.img, img_new)

@@ -225,6 +225,30 @@ def _rotation_stride(n: int) -> int:
         r += 2
     return r % n
 
+
+# Lane-pool size cap. Above ~256k lanes per query the MXU is saturated
+# and bigger pools only raise HBM pressure; worse, a 1-spp frame over a
+# huge pixel count cannot refill dead lanes (every pixel is already in
+# flight), so occupancy decays with path death. Capping the pool makes
+# lanes cycle through n*spp/P work items instead — dead lanes refill
+# with queued pixels, keeping the pool dense (wavefront compaction by
+# scheduling rather than by sorting).
+POOL_TARGET = 262144
+
+
+def _pool_size(n: int, spp: int) -> int:
+    """Largest divisor of n that is <= POOL_TARGET (n itself if small).
+    P | n keeps every work-item block [m*P, (m+1)*P) inside one sample
+    round, which is what makes the final binning a static roll."""
+    import os
+    target = int(os.environ.get("TRACER_POOL_TARGET", POOL_TARGET))
+    if n <= target:
+        return n
+    g = -(-n // target)
+    while n % g != 0:
+        g += 1
+    return n // g
+
 def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                   ambience, w: int, h: int, transmitter_kind: str,
                   spp: int, render_mode: str,
@@ -246,59 +270,84 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     n_channels = conf.sensor_color.shape[0]
     color_mode = render_mode != "distance"
     stride = _rotation_stride(n)
-    lane = jnp.arange(n, dtype=jnp.int32)
-    srow = jnp.arange(spp, dtype=jnp.int32)[:, None]  # store row ids
+    pool = _pool_size(n, spp)          # P lanes; P | n
+    m_items = (n * spp) // pool        # work items per lane
+    lane = jnp.arange(pool, dtype=jnp.int32)
+    srow = jnp.arange(m_items, dtype=jnp.int32)[:, None]  # store row ids
 
     ambience = jnp.asarray(ambience, jnp.float32)
     seed = jnp.asarray(seed, jnp.uint32)
     nonce = jnp.asarray(nonce, jnp.uint32)
     spp_factor = jnp.float32(1.0 / spp)
 
-    zero_n = jnp.zeros((n,), jnp.float32)
+    # Work item j covers (sample s, pixel (i + s*stride) mod n) with
+    # s = j // n, i = j mod n; lane k runs items k, k+P, k+2P, ... Since
+    # P | n, item block m (= j // P) lies inside one sample round:
+    # s_m = m*P // n and i = base_m + k with base_m = m*P mod n, so store
+    # row m maps lane k -> pixel (shift_m + k) mod n for the STATIC
+    # shift_m below — binning stays a roll even when P < n.
+    import numpy as _np
+    _mp = _np.arange(m_items, dtype=_np.int64) * pool
+    bin_shifts = jnp.asarray(
+        (_mp % n + (_mp // n) * stride) % n, jnp.int32)
+
+    zero_n = jnp.zeros((pool,), jnp.float32)
     init = dict(
-        rng=jnp.zeros((n,), jnp.uint32),
-        done=jnp.zeros((n,), jnp.int32),      # samples completed by lane
-        active=jnp.zeros((n,), bool),         # a path is in flight
-        bounce=jnp.zeros((n,), jnp.int32),
-        # pixel the lane works; pre-advanced so round 0 lands on pixel=lane
-        pix=(lane - jnp.int32(stride)) % jnp.int32(n),
-        o=jnp.zeros((3, n), jnp.float32),
-        d=jnp.zeros((3, n), jnp.float32),
-        po=jnp.zeros((3, n), jnp.float32),    # primary ray (for points)
-        pd=jnp.zeros((3, n), jnp.float32),
+        rng=jnp.zeros((pool,), jnp.uint32),
+        done=jnp.zeros((pool,), jnp.int32),    # items completed by lane
+        active=jnp.zeros((pool,), bool),       # a path is in flight
+        bounce=jnp.zeros((pool,), jnp.int32),
+        # per-lane item cursor, pre-advanced so the first refill lands on
+        # item k: advance adds P to base (wrapping into s) and P (+stride
+        # on wrap) to pix
+        s=jnp.full((pool,), -1, jnp.int32),    # sample index of the item
+        base=jnp.full((pool,), n - pool, jnp.int32),
+        pix=(lane - jnp.int32(pool) - jnp.int32(stride)) % jnp.int32(n),
+        o=jnp.zeros((3, pool), jnp.float32),
+        d=jnp.zeros((3, pool), jnp.float32),
+        po=jnp.zeros((3, pool), jnp.float32),  # primary ray (for points)
+        pd=jnp.zeros((3, pool), jnp.float32),
         wavelen=zero_n,
-        chan=jnp.zeros((n,), jnp.int32),      # sample's sensor channel
+        chan=jnp.zeros((pool,), jnp.int32),    # sample's sensor channel
         cum_dist=zero_n,
-        sample_rad=zero_n,                    # per-sample radiance sum
-        sample_min_d=jnp.full((n,), jnp.inf), # per-sample windowed min dist
+        sample_rad=zero_n,                     # per-sample radiance sum
+        sample_min_d=jnp.full((pool,), jnp.inf),  # windowed min dist
         rays=jnp.int32(0),
         it=jnp.int32(0),
     )
-    # per-round stores: row s holds the reduced result of the lane's s-th
-    # sample; binned into pixels by static rolls after the loop
+    # per-item stores: row m holds the reduced result of the lane's m-th
+    # work item; binned into pixels by static rolls after the loop
     if color_mode:
-        init["rad_st"] = jnp.zeros((spp, n), jnp.float32)
-        init["chan_st"] = jnp.zeros((spp, n), jnp.int32)
+        init["rad_st"] = jnp.zeros((m_items, pool), jnp.float32)
+        init["chan_st"] = jnp.zeros((m_items, pool), jnp.int32)
     if not color_mode or with_points:
-        init["mind_st"] = jnp.full((spp, n), jnp.inf, jnp.float32)
+        init["mind_st"] = jnp.full((m_items, pool), jnp.inf, jnp.float32)
     if with_points:
-        init["sample_pos"] = jnp.zeros((3, n), jnp.float32)
+        init["sample_pos"] = jnp.zeros((3, pool), jnp.float32)
         init["sample_int"] = zero_n
-        init["pos_st"] = jnp.zeros((3, spp, n), jnp.float32)
-        init["int_st"] = jnp.zeros((spp, n), jnp.float32)
+        init["pos_st"] = jnp.zeros((3, m_items, pool), jnp.float32)
+        init["int_st"] = jnp.zeros((m_items, pool), jnp.float32)
 
-    max_iters = spp * PATH_LEN + PATH_LEN + 4
+    max_iters = m_items * PATH_LEN + PATH_LEN + 4
 
     def cond(c):
-        return jnp.any(c["done"] < spp) & (c["it"] < max_iters)
+        return jnp.any(c["done"] < m_items) & (c["it"] < max_iters)
 
     def start_samples(c):
-        """Refill idle lanes that still owe samples with a fresh camera
-        sample (wavelength + channel + primary ray) on the lane's next
-        rotation pixel."""
-        start = (~c["active"]) & (c["done"] < spp)
-        pix_adv = c["pix"] + jnp.int32(stride)
+        """Refill idle lanes that still owe work items with a fresh
+        camera sample (wavelength + channel + primary ray) on the lane's
+        next item's pixel."""
+        start = (~c["active"]) & (c["done"] < m_items)
+        base_adv = c["base"] + jnp.int32(pool)
+        wrap = base_adv >= n
+        base_adv = base_adv - jnp.where(wrap, jnp.int32(n), 0)
+        s_adv = c["s"] + wrap.astype(jnp.int32)
+        pix_adv = c["pix"] + jnp.int32(pool) + jnp.where(
+            wrap, jnp.int32(stride), 0)
         pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
+        pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
+        base = jnp.where(start, base_adv, c["base"])
+        s_ix = jnp.where(start, s_adv, c["s"])
         pix = jnp.where(start, pix_adv, c["pix"])
 
         jx = (pix % w).astype(jnp.float32)
@@ -308,11 +357,11 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         pix_ids = (pix.astype(jnp.uint32)
                    + jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
 
-        sample_idx = c["done"].astype(jnp.uint32)
+        sample_idx = s_ix.astype(jnp.uint32)
         # identical streams to per-frame rendering with nonce+sample_idx:
         # make_streams(seed, nonce+s, pixel) vectorized over per-lane s
-        base = prng.hash_u32(seed ^ prng.hash_u32(nonce + sample_idx))
-        fresh = prng.hash_u32(pix_ids ^ base)
+        hseed = prng.hash_u32(seed ^ prng.hash_u32(nonce + sample_idx))
+        fresh = prng.hash_u32(pix_ids ^ hseed)
         rng = jnp.where(start, fresh, c["rng"])
 
         rng2, wavelen, channel = cam_mod.sample_wavelength(rng, conf)
@@ -323,7 +372,7 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         out = dict(c, rng=upd(c["rng"], rng2),
                    active=c["active"] | start,
                    bounce=upd(c["bounce"], 0),
-                   pix=pix,
+                   pix=pix, base=base, s=s_ix,
                    o=upd(c["o"], o_new), d=upd(c["d"], d_new),
                    po=upd(c["po"], o_new), pd=upd(c["pd"], d_new),
                    wavelen=upd(c["wavelen"], wavelen),
@@ -339,7 +388,7 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     def finish_samples(c, ended):
         """Close out lanes whose path just died: write the sample's
         reduced result into store row done (its sample index)."""
-        sel = (srow == c["done"][None, :]) & ended[None, :]  # (spp, n)
+        sel = (srow == c["done"][None, :]) & ended[None, :]  # (m_items, P)
         out = dict(c, done=c["done"] + ended.astype(jnp.int32),
                    active=c["active"] & ~ended)
         if color_mode:
@@ -423,49 +472,50 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     out = jax.lax.while_loop(cond, body, init)
 
     # ------------------------------------------------------------------
-    # Binning: store row s maps lane k -> pixel (k + s*stride) mod n,
-    # i.e. pixel values are roll(row_s, s*stride). All shifts static-
-    # incremental; accumulation per pixel runs in sample order, matching
-    # the reference's per-frame sum order.
-    def step_shift(shift):
-        shift = shift + jnp.int32(stride)
-        return shift - jnp.where(shift >= n, jnp.int32(n), 0)
+    # Binning: store row m maps lane k -> pixel (bin_shifts[m] + k) mod n
+    # (static shifts); a row's values occupy the padded segment's first P
+    # slots, neutral elsewhere. Item order is monotone in sample index,
+    # so per-pixel accumulation runs in sample order, matching the
+    # reference's per-frame sum order.
+    def pad_row(row, fill):
+        if pool == n:
+            return row
+        return jnp.pad(row, [(0, 0)] * (row.ndim - 1) + [(0, n - pool)],
+                       constant_values=fill)
 
     result = {}
     if color_mode:
         sensor_color = conf.sensor_color  # (C, 3)
 
-        def bin_color(s_idx, carry):
-            acc, shift = carry
-            row = jax.lax.dynamic_index_in_dim(out["rad_st"], s_idx, 0,
+        def bin_color(m, acc):
+            row = jax.lax.dynamic_index_in_dim(out["rad_st"], m, 0,
                                                keepdims=False)
-            ch = jax.lax.dynamic_index_in_dim(out["chan_st"], s_idx, 0,
+            ch = jax.lax.dynamic_index_in_dim(out["chan_st"], m, 0,
                                               keepdims=False)
-            contrib = jnp.zeros((3, n), jnp.float32)
+            contrib = jnp.zeros((3, pool), jnp.float32)
             for ci in range(n_channels):
                 contrib = contrib + sensor_color[ci][:, None] * jnp.where(
                     ch == ci, row, 0.0)
-            return acc + jnp.roll(contrib, shift, axis=1), step_shift(shift)
+            return acc + jnp.roll(pad_row(contrib, 0.0), bin_shifts[m],
+                                  axis=1)
 
-        acc, _ = jax.lax.fori_loop(
-            0, spp, bin_color,
-            (jnp.zeros((3, n), jnp.float32), jnp.int32(0)))
+        acc = jax.lax.fori_loop(0, m_items, bin_color,
+                                jnp.zeros((3, n), jnp.float32))
         img_t = acc * (jnp.float32(n_channels) * spp_factor)
     else:
         # distance visualization: first sample with a windowed return wins
-        # (integrator.fut:188-189) — sample order is store-row order.
-        def bin_dist(s_idx, carry):
-            has, dmin, shift = carry
-            row = jax.lax.dynamic_index_in_dim(out["mind_st"], s_idx, 0,
+        # (integrator.fut:188-189) — item order is sample order per pixel.
+        def bin_dist(m, carry):
+            has, dmin = carry
+            row = jax.lax.dynamic_index_in_dim(out["mind_st"], m, 0,
                                                keepdims=False)
-            rolled = jnp.roll(row, shift)
+            rolled = jnp.roll(pad_row(row, jnp.inf), bin_shifts[m])
             got = (~has) & jnp.isfinite(rolled)
-            return (has | got, jnp.where(got, rolled, dmin),
-                    step_shift(shift))
+            return has | got, jnp.where(got, rolled, dmin)
 
-        has, dmin, _ = jax.lax.fori_loop(
-            0, spp, bin_dist,
-            (jnp.zeros((n,), bool), jnp.full((n,), jnp.inf), jnp.int32(0)))
+        has, dmin = jax.lax.fori_loop(
+            0, m_items, bin_dist,
+            (jnp.zeros((n,), bool), jnp.full((n,), jnp.inf)))
         hue = 0.85 * (dmin - LIDAR_MIN_D) / (LIDAR_MAX_D - LIDAR_MIN_D)
         rgb = hue_to_rgb(jnp.where(has, hue, 0.0))
         img_t = jnp.where(has, rgb, 0.0)
@@ -473,28 +523,29 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 
     result["img"] = img
     result["rays_traced"] = out["rays"]
-    result["iters"] = out["it"]  # occupancy diagnostic: ideal ~= rays/(3n)
+    result["iters"] = out["it"]  # occupancy diagnostic: ideal ~= rays/(3P)
     if with_points:
         # closest return per pixel across all samples (lib.fut:40-47):
-        # strict-min in sample order, like the old cross-sample merge
-        def bin_points(s_idx, carry):
-            bd, bp, bi, shift = carry
-            d_row = jnp.roll(jax.lax.dynamic_index_in_dim(
-                out["mind_st"], s_idx, 0, keepdims=False), shift)
-            i_row = jnp.roll(jax.lax.dynamic_index_in_dim(
-                out["int_st"], s_idx, 0, keepdims=False), shift)
-            p_row = jnp.roll(jax.lax.dynamic_index_in_dim(
-                out["pos_st"], s_idx, 1, keepdims=False), shift, axis=1)
+        # strict-min in item (== per-pixel sample) order, like the old
+        # cross-sample merge
+        def bin_points(m, carry):
+            bd, bp, bi = carry
+            shift = bin_shifts[m]
+            d_row = jnp.roll(pad_row(jax.lax.dynamic_index_in_dim(
+                out["mind_st"], m, 0, keepdims=False), jnp.inf), shift)
+            i_row = jnp.roll(pad_row(jax.lax.dynamic_index_in_dim(
+                out["int_st"], m, 0, keepdims=False), 0.0), shift)
+            p_row = jnp.roll(pad_row(jax.lax.dynamic_index_in_dim(
+                out["pos_st"], m, 1, keepdims=False), 0.0), shift, axis=1)
             better = d_row < bd
             return (jnp.where(better, d_row, bd),
                     jnp.where(better, p_row, bp),
-                    jnp.where(better, i_row, bi),
-                    step_shift(shift))
+                    jnp.where(better, i_row, bi))
 
-        best_d, best_pos, best_int, _ = jax.lax.fori_loop(
-            0, spp, bin_points,
+        best_d, best_pos, best_int = jax.lax.fori_loop(
+            0, m_items, bin_points,
             (jnp.full((n,), jnp.inf), jnp.full((3, n), -1.0),
-             jnp.zeros((n,), jnp.float32), jnp.int32(0)))
+             jnp.zeros((n,), jnp.float32)))
         has = jnp.isfinite(best_d)
         result["points"] = (
             jnp.where(has, best_pos, -1.0),

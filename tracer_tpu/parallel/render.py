@@ -56,11 +56,9 @@ def sharded_frame_fn(mesh: Mesh, w: int, h: int, transmitter_kind: str,
         row0 = ti * rows
         # distinct stream nonce per sample replica
         nonce_local = nonce * jnp.uint32(n_sample) + si.astype(jnp.uint32)
-        samples = integrator.sample_pixels(
+        img = integrator.render_pooled(
             seed, nonce_local, scene, cam, ambience, w, rows,
-            transmitter_kind, row0=row0, full_h=h)
-        img = integrator.visualize(samples, render_mode,
-                                   cam.conf.sensor_color, w, rows)
+            transmitter_kind, 1, render_mode, row0=row0, full_h=h)["img"]
         # average the independent replicas over ICI
         return jax.lax.pmean(img, SAMPLE_AXIS)
 
