@@ -226,28 +226,53 @@ def _rotation_stride(n: int) -> int:
     return r % n
 
 
-# Lane-pool size cap. Above ~256k lanes per query the MXU is saturated
-# and bigger pools only raise HBM pressure; worse, a 1-spp frame over a
-# huge pixel count cannot refill dead lanes (every pixel is already in
-# flight), so occupancy decays with path death. Capping the pool makes
-# lanes cycle through n*spp/P work items instead — dead lanes refill
-# with queued pixels, keeping the pool dense (wavefront compaction by
-# scheduling rather than by sorting).
+# Lane-pool sizing. Two opposing costs (measured on v5e, PERF.md):
+#   * occupancy: a lane that drew expensive pixels runs long while others
+#     idle; with m = n*spp/P work items per lane the per-lane load
+#     concentrates at the mean, so occupancy RISES as P shrinks
+#     (SpectrumSphereHigh 1spp: occ 0.23 at m=4 -> 0.67 at m=128).
+#   * per-iteration floor: each pool iteration pays fixed cost (camera
+#     resample, masks, store writes, kernel launches); tiny pools on
+#     cheap scenes drown in it (MirrorBox 64spp: 76 -> 51 Mrays/s when
+#     halving P).
+# For scenes on the Pallas intersector (>= ~1k triangles) the iteration
+# cost is query-dominated, so aim for ITEMS_TARGET items/lane; for small
+# scenes keep the pool as big as possible. POOL_TARGET caps HBM pressure
+# either way.
 POOL_TARGET = 262144
+POOL_MIN = 8192
+ITEMS_TARGET = 128
+_SMALL_SCENE_TRIS = 512
 
 
-def _pool_size(n: int, spp: int) -> int:
-    """Largest divisor of n that is <= POOL_TARGET (n itself if small).
-    P | n keeps every work-item block [m*P, (m+1)*P) inside one sample
-    round, which is what makes the final binning a static roll."""
+def _pool_size(n: int, spp: int, t_pad: int) -> int:
+    """Pool lane count P: the largest divisor of n not exceeding the
+    policy cap. P | n keeps every work-item block [m*P, (m+1)*P) inside
+    one sample round, which is what makes the final binning a static
+    roll. t_pad is the scene's padded triangle count (iteration-cost
+    proxy)."""
     import os
-    target = int(os.environ.get("TRACER_POOL_TARGET", POOL_TARGET))
+    env = os.environ.get("TRACER_POOL_TARGET")
+    if env:
+        target = int(env)
+    elif t_pad <= _SMALL_SCENE_TRIS:
+        target = POOL_TARGET
+    else:
+        target = max(POOL_MIN, min(POOL_TARGET, (n * spp) // ITEMS_TARGET))
     if n <= target:
         return n
     g = -(-n // target)
     while n % g != 0:
         g += 1
     return n // g
+
+
+def _scene_t_pad(scene) -> int:
+    """Padded triangle count of the active accel (static under jit)."""
+    from tracer_tpu.ops import intersect as _i
+    if isinstance(scene.accel, _i.DenseTris):
+        return int(scene.accel.coeffs.shape[1])
+    return int(scene.tris.shape[0])
 
 def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                   ambience, w: int, h: int, transmitter_kind: str,
@@ -270,7 +295,7 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     n_channels = conf.sensor_color.shape[0]
     color_mode = render_mode != "distance"
     stride = _rotation_stride(n)
-    pool = _pool_size(n, spp)          # P lanes; P | n
+    pool = _pool_size(n, spp, _scene_t_pad(scene))  # P lanes; P | n
     m_items = (n * spp) // pool        # work items per lane
     lane = jnp.arange(pool, dtype=jnp.int32)
     srow = jnp.arange(m_items, dtype=jnp.int32)[:, None]  # store row ids

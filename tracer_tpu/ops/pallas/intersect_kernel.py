@@ -48,24 +48,34 @@ def _split_bf16(x):
 def _scores(coeffs, phi, tmax):
     """coeffs (4C, 16), phi (16, TILE_N) -> (valid, t) each (C, TILE_N).
 
-    The determinant matmul runs as manual bf16x3 (hi*hi + hi*lo + lo*hi,
+    Each determinant matmul runs as manual bf16x3 (hi*hi + hi*lo + lo*hi,
     f32 accumulation): ~2^-22 relative error — far below the geometric
-    epsilons — at half the MXU passes of Precision.HIGHEST. With K=16
-    padded to the MXU's 128 this matmul IS the kernel's cost floor.
+    epsilons — at half the MXU passes of Precision.HIGHEST.
+
+    The four determinant blocks (a, n.t, n.u, n.v) are multiplied and
+    consumed ONE AT A TIME: a single fused (4C,16)@(16,N) product keeps
+    3 bf16x3 partials + 4 block results + epilogue temps live at once
+    (~12MB/tile at C=128, N=2048), which spills VMEM and made the kernel
+    6x slower at 8716 triangles. Per-block products cap the live set at
+    a few (C, N) buffers.
     """
     c = coeffs.shape[0] // 4
-    ch, cl = _split_bf16(coeffs)
     ph, plo = _split_bf16(phi)
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-    p = dot(ch, ph) + (dot(ch, plo) + dot(cl, ph))
-    a, nt, nu, nv = p[:c], p[c:2 * c], p[2 * c:3 * c], p[3 * c:]
+
+    def mm(rows):
+        rh, rl = _split_bf16(rows)
+        return dot(rh, ph) + (dot(rh, plo) + dot(rl, ph))
+
+    a = mm(coeffs[:c])
     nondeg = jnp.abs(a) >= shapes.TRI_EPS
     inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
-    t = nt * inv_a
-    u = nu * inv_a
-    v = -nv * inv_a
-    valid = (nondeg & (u >= 0) & (v >= 0) & (u + v <= 1)
-             & (t > 0) & (t < tmax))
+    t = mm(coeffs[c:2 * c]) * inv_a
+    valid = nondeg & (t > 0) & (t < tmax)
+    u = mm(coeffs[2 * c:3 * c]) * inv_a
+    valid &= u >= 0
+    v = -(mm(coeffs[3 * c:]) * inv_a)
+    valid &= (v >= 0) & (u + v <= 1)
     return valid, jnp.where(valid, t, jnp.inf)
 
 
