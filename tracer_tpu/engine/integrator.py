@@ -344,7 +344,9 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     # work item; binned into pixels by static rolls after the loop
     if color_mode:
         init["rad_st"] = jnp.zeros((m_items, pool), jnp.float32)
-        init["chan_st"] = jnp.zeros((m_items, pool), jnp.int32)
+        # channel ids are 0..2; int8 quarters the per-iteration HBM
+        # traffic of the store update
+        init["chan_st"] = jnp.zeros((m_items, pool), jnp.int8)
     if not color_mode or with_points:
         init["mind_st"] = jnp.full((m_items, pool), jnp.inf, jnp.float32)
     if with_points:
@@ -419,7 +421,8 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         if color_mode:
             out["rad_st"] = jnp.where(sel, c["sample_rad"][None, :],
                                       c["rad_st"])
-            out["chan_st"] = jnp.where(sel, c["chan"][None, :], c["chan_st"])
+            out["chan_st"] = jnp.where(sel, c["chan"][None, :].astype(jnp.int8),
+                                       c["chan_st"])
         if "mind_st" in c:
             out["mind_st"] = jnp.where(sel, c["sample_min_d"][None, :],
                                        c["mind_st"])
