@@ -102,15 +102,21 @@ def select_lane_light(state, scene: scene_mod.Scene,
                              em_val=em_val), n_lights
 
 
-def occluded(scene, hit_pos, hit_normal, lightp):
-    """Backface test + shadow ray (occluded, direct.fut:7-15)."""
+def _shadow_ray(hit_pos, hit_normal, lightp):
+    """Backface test + shadow-ray setup (occluded, direct.fut:7-15),
+    query deferred so callers can batch several into one any_hit."""
     v = lightp - hit_pos
     w = la.v3_normalize(v, eps=1e-30)
     backface = la.v3_dot(w, hit_normal) <= 0
     dist = la.v3_norm(v)
     o, d = shapes.mkray_adjust_acne_v(hit_pos, hit_normal, w)
-    blocked = scene_mod.any_hit(scene, dist - OCCLUSION_EPS, o, d)
-    return backface | blocked
+    return backface, o, d, dist - OCCLUSION_EPS
+
+
+def occluded(scene, hit_pos, hit_normal, lightp):
+    """Backface test + shadow ray (occluded, direct.fut:7-15)."""
+    backface, o, d, tmax = _shadow_ray(hit_pos, hit_normal, lightp)
+    return backface | scene_mod.any_hit(scene, tmax, o, d)
 
 
 def balance(pdf_f, pdf_g):
@@ -154,16 +160,10 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     in_radiance = incident_radiance(light, inter.pos, lightp)
     light_pdf = jnp.where(is_point, 1.0, inv_area)
 
-    occ = occluded(scene, inter.pos, inter.normal, lightp)
-    in_radiance = jnp.where(occ, 0.0, in_radiance)
-
     f_l = (materials.bsdf_f(wo, wi_l, inter.normal, inter.mat)
            * jnp.abs(la.v3_dot(wi_l, inter.normal)))
     scattering_pdf = materials.bsdf_pdf(wo, wi_l, inter.normal, inter.mat)
     weight_l = balance(light_pdf, scattering_pdf)
-    light_part = jnp.where(
-        (light_pdf == 0) | (in_radiance == 0), 0.0,
-        f_l * weight_l * in_radiance / light_pdf)
 
     # --- BSDF sampling toward the same light (direct.fut:79-102);
     # zero for point lights (a BSDF sample almost surely misses a point).
@@ -172,7 +172,24 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     o_b, d_b = shapes.mkray_adjust_acne_v(inter.pos, inter.normal, wi_b)
     hit_ok, _, lh_pos, _ = shapes.hit_triangle_v(
         shapes.F32_HIGHEST, o_b, d_b, light.a, light.b, light.c)
-    occ_b = occluded(scene, inter.pos, inter.normal, lh_pos)
+
+    # Both MIS halves' shadow queries batch into ONE any_hit over 2N
+    # rays — occlusion consumes no RNG, so stream order is unchanged.
+    bf_l, so_l, sd_l, st_l = _shadow_ray(inter.pos, inter.normal, lightp)
+    bf_b, so_b, sd_b, st_b = _shadow_ray(inter.pos, inter.normal, lh_pos)
+    n = wi_l.shape[-1]
+    blocked = scene_mod.any_hit(
+        scene, jnp.concatenate([st_l, st_b]),
+        jnp.concatenate([so_l, so_b], axis=1),
+        jnp.concatenate([sd_l, sd_b], axis=1))
+    occ = bf_l | blocked[:n]
+    occ_b = bf_b | blocked[n:]
+
+    in_radiance = jnp.where(occ, 0.0, in_radiance)
+    light_part = jnp.where(
+        (light_pdf == 0) | (in_radiance == 0), 0.0,
+        f_l * weight_l * in_radiance / light_pdf)
+
     in_rad_b = incident_radiance(light, inter.pos, lh_pos)
     f_b = bsdf_b * jnp.abs(la.v3_dot(wi_b, inter.normal))
     weight_b = balance(pdf_b, inv_area)
