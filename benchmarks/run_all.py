@@ -142,8 +142,24 @@ def main():
         results.append(res)
         print(json.dumps(res), flush=True)
 
-    with open(os.path.join(ROOT, "BENCH_ALL.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    # merge into the existing file so partial runs don't clobber other
+    # configs' results
+    path = os.path.join(ROOT, "BENCH_ALL.json")
+    merged = {}
+    try:
+        with open(path) as f:
+            for r in json.load(f):
+                merged[r.get("config")] = r
+    except Exception:
+        pass
+    for r in results:
+        merged[r.get("config")] = r
+    order = [c["name"] for c in CONFIGS.values()]
+    out = sorted(merged.values(),
+                 key=lambda r: order.index(r["config"])
+                 if r.get("config") in order else 99)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
