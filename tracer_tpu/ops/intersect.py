@@ -37,8 +37,13 @@ import jax.numpy as jnp
 
 from tracer_tpu.ops import shapes, tables
 
-# Triangle-chunk padding granularity.
+# Triangle-chunk padding granularity. Small scenes pad to 128 (the XLA
+# path computes every padded row, so tighter is cheaper); scenes big
+# enough for the Pallas kernel pad to its CHUNK_T=256 so the build-time
+# chunk AABBs line up 1:1 with the kernel's chunk loop.
 _PAD = 128
+_PAD_LARGE = 256
+_PAD_LARGE_MIN_TRIS = 512
 DEFAULT_CHUNK = 512
 
 
@@ -62,7 +67,7 @@ class DenseTris(NamedTuple):
     chunk_bounds: jax.Array
 
 
-def build_dense(tris, pad_to: int = _PAD) -> DenseTris:
+def build_dense(tris, pad_to: int | None = None) -> DenseTris:
     """Precompute matmul coefficients from (T, 3, 3) triangles.
 
     Triangles are morton-sorted first (like the LBVH leaf order,
@@ -73,6 +78,8 @@ def build_dense(tris, pad_to: int = _PAD) -> DenseTris:
     from tracer_tpu.ops import morton as morton_mod
     tris = jnp.asarray(tris, jnp.float32).reshape(-1, 3, 3)
     t = tris.shape[0]
+    if pad_to is None:
+        pad_to = _PAD_LARGE if t > _PAD_LARGE_MIN_TRIS else _PAD
     t_pad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
 
     if t > 1:
@@ -92,12 +99,12 @@ def build_dense(tris, pad_to: int = _PAD) -> DenseTris:
 
     # per-chunk AABBs over the real triangles; padded rows excluded via
     # +inf/-inf so empty chunks never pass the slab test
-    n_chunks = t_pad // _PAD
+    n_chunks = t_pad // pad_to
     real = (jnp.arange(t_pad) < t)[:, None]
     cmin = jnp.where(real, jnp.min(tris, axis=-2), jnp.inf)
     cmax = jnp.where(real, jnp.max(tris, axis=-2), -jnp.inf)
-    bmin = jnp.min(cmin.reshape(n_chunks, _PAD, 3), axis=1)
-    bmax = jnp.max(cmax.reshape(n_chunks, _PAD, 3), axis=1)
+    bmin = jnp.min(cmin.reshape(n_chunks, pad_to, 3), axis=1)
+    bmax = jnp.max(cmax.reshape(n_chunks, pad_to, 3), axis=1)
     chunk_bounds = jnp.concatenate(
         [bmin, bmax, jnp.zeros((n_chunks, 2), jnp.float32)], axis=1)
 

@@ -33,9 +33,11 @@ from tracer_tpu.ops import shapes
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 TILE_N = 2048     # rays per tile (lanes)
-CHUNK_T = 128     # triangles per chunk; == intersect._PAD so the
-                  # build-time chunk AABBs line up 1:1
-# VMEM: p (4C, TILE_N) 4MB + epilogue temps ~4MB + blocks <1MB.
+# Triangles per chunk are derived per call from the build-time
+# chunk_bounds granularity (intersect.build_dense pads large scenes to
+# 256): 256 beats 128 by ~1.5x on mid-size scenes (fewer, larger
+# per-block matmuls) and ties on 8k+ tris; 512 loses cull
+# effectiveness (measured, PERF.md).
 
 
 def _split_bf16(x):
@@ -98,8 +100,8 @@ def _chunk_cull(phi, bounds_ref, ci, upper):
     return tmax_ > tmin
 
 
-def _closest_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref,
-                    bounds_ref, best_t_ref, best_i_ref):
+def _closest_kernel(n_chunks: int, chunk_t: int, phi_ref, coeffs_ref,
+                    tmax_ref, bounds_ref, best_t_ref, best_i_ref):
     """Grid is (ray tiles,) only: the chunk loop runs in-kernel so culled
     chunks cost ~a slab test, not a full pipeline grid step."""
     phi = phi_ref[:]
@@ -113,10 +115,10 @@ def _closest_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref,
 
         @pl.when(jnp.any(may_hit))
         def _():
-            coeffs = coeffs_ref[pl.ds(ci * 4 * CHUNK_T, 4 * CHUNK_T), :]
+            coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
             valid, t = _scores(coeffs, phi, tmax)
             loc_t = jnp.min(t, axis=0)
-            loc_i = jnp.argmin(t, axis=0).astype(jnp.int32) + ci * CHUNK_T
+            loc_i = jnp.argmin(t, axis=0).astype(jnp.int32) + ci * chunk_t
             better = loc_t < best_t_ref[:]
             best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
             best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
@@ -126,8 +128,8 @@ def _closest_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _any_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref, bounds_ref,
-                hit_ref):
+def _any_kernel(n_chunks: int, chunk_t: int, phi_ref, coeffs_ref, tmax_ref,
+                bounds_ref, hit_ref):
     phi = phi_ref[:]
     tmax = tmax_ref[:]
     hit_ref[:] = jnp.zeros((TILE_N,), jnp.bool_)
@@ -137,7 +139,7 @@ def _any_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref, bounds_ref,
 
         @pl.when(jnp.any(may_hit))
         def _():
-            coeffs = coeffs_ref[pl.ds(ci * 4 * CHUNK_T, 4 * CHUNK_T), :]
+            coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
             valid, _ = _scores(coeffs, phi, tmax)
             hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
 
@@ -146,21 +148,21 @@ def _any_kernel(n_chunks: int, phi_ref, coeffs_ref, tmax_ref, bounds_ref,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _pad_inputs(coeffs, phi_t, tmax, n):
+def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks):
     """Pad rays to TILE_N multiple and the feature axis 10 -> 16
     (sublane alignment for the MXU operand). Chunking matches the
-    build-time granularity (coeffs T_pad is already a CHUNK_T multiple)."""
+    build-time chunk_bounds granularity."""
     t_pad = coeffs.shape[1]
-    assert t_pad % CHUNK_T == 0, t_pad
+    assert t_pad % n_chunks == 0, (t_pad, n_chunks)
+    chunk_t = t_pad // n_chunks
     n_pad = -(-n // TILE_N) * TILE_N
-    n_chunks = t_pad // CHUNK_T
     coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, 6)))
-    coeffs = coeffs.reshape(4, n_chunks, CHUNK_T, 16)
-    coeffs = coeffs.transpose(1, 0, 2, 3).reshape(n_chunks * 4 * CHUNK_T, 16)
+    coeffs = coeffs.reshape(4, n_chunks, chunk_t, 16)
+    coeffs = coeffs.transpose(1, 0, 2, 3).reshape(n_chunks * 4 * chunk_t, 16)
     phi = jnp.pad(phi_t, ((0, 6), (0, n_pad - n)))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     tmax = jnp.pad(tmax, (0, n_pad - n))
-    return coeffs, phi, tmax, n_pad, n_chunks
+    return coeffs, phi, tmax, n_pad, chunk_t
 
 
 def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
@@ -170,10 +172,12 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     Returns (best_t (N,), best_i (N,)) with best_i in storage order."""
     import functools
     n = phi_t.shape[1]
-    coeffs2, phi, tmaxv, n_pad, n_chunks = _pad_inputs(coeffs, phi_t, tmax, n)
+    n_chunks = chunk_bounds.shape[0]
+    coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
+        coeffs, phi_t, tmax, n, n_chunks)
     grid = (n_pad // TILE_N,)
     best_t, best_i = pl.pallas_call(
-        functools.partial(_closest_kernel, n_chunks),
+        functools.partial(_closest_kernel, n_chunks, chunk_t),
         grid=grid,
         in_specs=[
             pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
@@ -202,10 +206,12 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     """Shadow-query variant. Returns hit (N,) bool."""
     import functools
     n = phi_t.shape[1]
-    coeffs2, phi, tmaxv, n_pad, n_chunks = _pad_inputs(coeffs, phi_t, tmax, n)
+    n_chunks = chunk_bounds.shape[0]
+    coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
+        coeffs, phi_t, tmax, n, n_chunks)
     grid = (n_pad // TILE_N,)
     hit = pl.pallas_call(
-        functools.partial(_any_kernel, n_chunks),
+        functools.partial(_any_kernel, n_chunks, chunk_t),
         grid=grid,
         in_specs=[
             pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
