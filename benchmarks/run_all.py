@@ -83,17 +83,23 @@ else:
         return out["img"], out["rays_traced"]
     img, rays = chunk(s.seed, s.nonce, s.scene, s.cam, s.ambience)
     jax.block_until_ready(img)
+    # time K reps with distinct nonces (the axon relay caches identical
+    # executions); device fetches (int(rays), img mean) stay OUTSIDE the
+    # timed region — each costs a ~30ms tunnel roundtrip
+    reps = cfg.get("reps", 3)
+    outs = []
     t0 = time.perf_counter()
-    img, rays = chunk(s.seed, s.nonce + np.uint32(spp), s.scene, s.cam,
-                      s.ambience)
-    total_rays = int(rays)
-    jax.block_until_ready(img)
+    for k in range(reps):
+        outs.append(chunk(s.seed, s.nonce + np.uint32((k + 1) * spp),
+                          s.scene, s.cam, s.ambience))
+    jax.block_until_ready(outs[-1][0])
     dt = time.perf_counter() - t0
-    imean = float(np.asarray(img).mean())
+    total_rays = sum(int(r) for _, r in outs)
+    imean = float(np.asarray(outs[-1][0]).mean())
     out = dict(metric="mrays_per_sec", value=round(total_rays / dt / 1e6, 2),
                unit="Mrays/s", config=cfg["name"],
                spp=spp, img_mean=round(imean, 4),
-               samples_per_sec=round(w * h * spp / dt / 1e6, 2))
+               samples_per_sec=round(reps * w * h * spp / dt / 1e6, 2))
 print("BENCH_RESULT " + json.dumps(out))
 """
 
