@@ -319,3 +319,45 @@ def test_prism_scene_disperses():
     # channel separation somewhere in the image (spectral, not grayscale)
     sat = np.abs(img - img.mean(axis=-1, keepdims=True)).max()
     assert sat > 0.01
+
+
+def test_pool_size_invariance(monkeypatch):
+    """The rotation work-item schedule must produce BITWISE-identical
+    images, points, and distances for any pool size P | n: the pool is
+    a scheduling choice, not an estimator parameter (integrator.
+    _pool_size)."""
+    s = cornell_state(16, 16)
+    w, h = s.sub_dims
+
+    def render(target):
+        if target:
+            monkeypatch.setenv("TRACER_POOL_TARGET", str(target))
+        else:
+            monkeypatch.delenv("TRACER_POOL_TARGET", raising=False)
+        return integrator.render_pooled(
+            s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
+            s.transmitter_kind, 4, s.render_mode)
+
+    full = np.asarray(render(None)["img"])
+    for target in (64, 32):
+        small = np.asarray(render(target)["img"])
+        np.testing.assert_array_equal(small, full)
+
+    # LiDAR mode: points and distance visualization too
+    s2 = cornell_state(12, 12, conf=2)
+    w2, h2 = s2.sub_dims
+
+    def render_pts(target):
+        if target:
+            monkeypatch.setenv("TRACER_POOL_TARGET", str(target))
+        else:
+            monkeypatch.delenv("TRACER_POOL_TARGET", raising=False)
+        return integrator.render_pooled(
+            s2.seed, s2.nonce, s2.scene, s2.cam, s2.ambience, w2, h2,
+            s2.transmitter_kind, 4, s2.render_mode, with_points=True)
+
+    a = render_pts(None)
+    b = render_pts(36)
+    np.testing.assert_array_equal(np.asarray(a["img"]), np.asarray(b["img"]))
+    for pa, pb in zip(a["points"], b["points"]):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
