@@ -81,6 +81,35 @@ def _scores(coeffs, phi, tmax):
     return valid, jnp.where(valid, t, jnp.inf)
 
 
+def _scores_any(coeffs, phi, tmax):
+    """Validity-only variant for shadow queries: all Moller tests run in
+    multiplied space (u >= 0  <=>  nu*a >= 0, u+v <= 1  <=>
+    (nu-nv)*a <= a^2, t < tmax  <=>  nt*a < tmax*a^2, ...), so the
+    divide — the most expensive epilogue op — disappears along with the
+    t output. Sign tests are exact (IEEE product/quotient signs agree);
+    magnitude tests differ from the divide form by <= 1 ulp at the
+    boundary, far inside the geometric epsilons.
+    """
+    c = coeffs.shape[0] // 4
+    ph, plo = _split_bf16(phi)
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def mm(rows):
+        rh, rl = _split_bf16(rows)
+        return dot(rh, ph) + (dot(rh, plo) + dot(rl, ph))
+
+    a = mm(coeffs[:c])
+    a2 = a * a
+    valid = a2 >= shapes.TRI_EPS * shapes.TRI_EPS
+    nt_a = mm(coeffs[c:2 * c]) * a
+    valid &= (nt_a > 0) & (nt_a < tmax * a2)
+    nu_a = mm(coeffs[2 * c:3 * c]) * a
+    valid &= nu_a >= 0
+    nv_a = mm(coeffs[3 * c:]) * a
+    valid &= (nv_a <= 0) & (nu_a - nv_a <= a2)
+    return valid
+
+
 def _chunk_cull(phi, bounds_ref, ci, upper):
     """Slab test of the tile's rays against chunk ci's AABB
     (shapes.hit_aabb semantics: tmin0=0, hi inflated by 1+eps).
@@ -140,7 +169,7 @@ def _any_kernel(n_chunks: int, chunk_t: int, phi_ref, coeffs_ref, tmax_ref,
         @pl.when(jnp.any(may_hit))
         def _():
             coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
-            valid, _ = _scores(coeffs, phi, tmax)
+            valid = _scores_any(coeffs, phi, tmax)
             hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
 
         return 0
