@@ -113,3 +113,29 @@ def test_degenerate_triangles_never_hit(rng_np):
     ok, _, _, _, _ = intersect.closest_hit(
         dense, 1e30, la.v3_from_array(o), la.v3_from_array(d))
     assert not np.any(np.asarray(ok))
+
+
+def test_packed_bf16_matches_highest(rng_np, monkeypatch):
+    """The K-packed bf16x3 score matmul (the TPU fast path, forced here
+    via TRACER_MXU_PRECISION=packed) agrees with the exact
+    Precision.HIGHEST formulation: same hit set, t to ~1e-4, indices
+    equal except at near-ties."""
+    tris = random_scene(rng_np, t=83)
+    o, d = random_rays(rng_np, n=257)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    dense = intersect.build_dense(tris)
+
+    monkeypatch.setenv("TRACER_MXU_PRECISION", "highest")
+    ok_h, t_h, i_h, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    any_h = intersect.any_hit(dense, 4.0, ov, dv)
+    monkeypatch.setenv("TRACER_MXU_PRECISION", "packed")
+    ok_p, t_p, i_p, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    any_p = intersect.any_hit(dense, 4.0, ov, dv)
+
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_h))
+    hit = np.asarray(ok_h)
+    np.testing.assert_allclose(np.asarray(t_p)[hit], np.asarray(t_h)[hit],
+                               rtol=1e-4, atol=1e-5)
+    agree = np.asarray(i_p)[hit] == np.asarray(i_h)[hit]
+    assert agree.mean() > 0.99
+    np.testing.assert_array_equal(np.asarray(any_p), np.asarray(any_h))

@@ -143,16 +143,51 @@ def ray_features_t(origin, d):
     return jnp.concatenate([d, origin, oxd, ones], axis=0)
 
 
+def _use_packed_bf16() -> bool:
+    """K-packed bf16x3 scores on real TPUs (one MXU pass instead of the
+    six of Precision.HIGHEST, ~2^-22 relative error — same arithmetic as
+    the Pallas kernel); exact f32 elsewhere (CPU tests/oracle).
+    TRACER_MXU_PRECISION=highest forces the exact path everywhere;
+    =packed forces the bf16x3 path (precision tests on CPU)."""
+    mode = os.environ.get("TRACER_MXU_PRECISION", "").lower()
+    if mode == "highest":
+        return False
+    if mode == "packed":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _score_matmul(rows, phi_t):
+    """rows (R, 10) f32 @ phi_t (10, N) f32 -> (R, N) f32.
+
+    On TPU: bf16x3 via K-packing —  [rh | rh | rl] @ [ph; plo; ph]  in
+    one K=30 MXU pass (see pallas/intersect_kernel._scores for the
+    precision analysis). Elsewhere: one exact HIGHEST-precision product.
+    """
+    if _use_packed_bf16():
+        from tracer_tpu.ops.pallas.intersect_kernel import _split_bf16
+        rh, rl = _split_bf16(rows)
+        ph, plo = _split_bf16(phi_t)
+        return jax.lax.dot_general(
+            jnp.concatenate([rh, rh, rl], axis=-1),
+            jnp.concatenate([ph, plo, ph], axis=0),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(
+        rows, phi_t, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _chunk_scores_t(phi_t, coeffs_chunk, tmax):
     """Rays vs one chunk: coeffs_chunk (4, C, 10), phi_t (10, N).
 
     Returns (valid (C, N) bool, t (C, N) f32, +inf on invalid lanes).
     """
     c = coeffs_chunk.shape[1]
-    p = jax.lax.dot_general(
-        coeffs_chunk.reshape(4 * c, 10), phi_t,
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)  # (4C, N)
+    p = _score_matmul(coeffs_chunk.reshape(4 * c, 10), phi_t)  # (4C, N)
     a, nt, nu, nv = p[:c], p[c:2 * c], p[2 * c:3 * c], p[3 * c:]
     nondeg = jnp.abs(a) >= shapes.TRI_EPS
     inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
