@@ -32,6 +32,66 @@ def test_pallas_matches_xla(rng_np):
     np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
 
 
+def test_pallas_superchunk_schedule(rng_np, monkeypatch):
+    """g > 1 (superchunk-granular scheduling, the big-scene path) yields
+    identical results to g = 1: force it by shrinking MAX_SCHED so a
+    small scene spans several superchunks, including a padded one."""
+    monkeypatch.setattr(pk, "MAX_SCHED", 3)  # 5 chunks -> g=2, n_super=3
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (1100, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    assert dense.chunk_bounds.shape[0] == 5  # padded to 1280 @ chunk 256
+    n = 300
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+
+    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                   dense.chunk_bounds, interpret=True)
+    hp = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds,
+                           interpret=True)
+    monkeypatch.setattr(pk, "MAX_SCHED", 64)
+    bt1, bi1 = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                     dense.chunk_bounds, interpret=True)
+    hp1 = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(bt), np.asarray(bt1))
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi1))
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hp1))
+
+
+def test_pallas_lane_major_layout(rng_np, monkeypatch):
+    """The big-scene lane-major (48, rows) coefficient layout (forced
+    via TRACER_COEFF_LAYOUT) matches the default sublane-major one."""
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (300, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 200
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+
+    monkeypatch.setenv("TRACER_COEFF_LAYOUT", "lane")
+    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                   dense.chunk_bounds, interpret=True)
+    hp = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds,
+                           interpret=True)
+    monkeypatch.setenv("TRACER_COEFF_LAYOUT", "sublane")
+    bt1, bi1 = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                     dense.chunk_bounds, interpret=True)
+    hp1 = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds,
+                            interpret=True)
+    # layouts reassociate the K=48 contraction: ~1e-6 relative, same hits
+    hit = np.isfinite(np.asarray(bt))
+    np.testing.assert_array_equal(hit, np.isfinite(np.asarray(bt1)))
+    np.testing.assert_allclose(np.asarray(bt)[hit], np.asarray(bt1)[hit],
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(bi)[hit] == np.asarray(bi1)[hit]).mean() > 0.99
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hp1))
+
+
 def test_pallas_per_ray_tmax(rng_np):
     tris = jnp.asarray(rng_np.uniform(-2, 2, (64, 3, 3)).astype(np.float32))
     dense = intersect.build_dense(tris)

@@ -31,8 +31,12 @@ Accel = Union[intersect.DenseTris, bvh_mod.LBVH]
 # for every stock scene (traversal while_loops are memory-latency bound and
 # the nested-loop form faults the v5e runtime inside the pooled renderer),
 # so dense is the production default; LBVH remains for parity, tests, and
-# host-side experimentation.
-DENSE_THRESHOLD = 65536
+# host-side experimentation. The cap is the Pallas kernel's VMEM budget
+# for the packed coefficients (~384 bytes/tri: rows = 4*T_pad of 48
+# bf16 each, ~61MB at the cap, within the 100MB scoped-vmem limit with
+# the ~12MB of epilogue temporaries); superchunk-granular scheduling
+# (pallas/intersect_kernel.MAX_SCHED) keeps schedule tables bounded.
+DENSE_THRESHOLD = 163840
 
 
 class Scene(NamedTuple):

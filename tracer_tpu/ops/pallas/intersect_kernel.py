@@ -20,6 +20,13 @@ kernel keeps everything in VMEM:
   the slab cull — so coherent tiles do O(overlapped chunks) matmuls
   instead of O(all chunks).
 
+  The schedule is built at SUPERCHUNK granularity — groups of
+  g = ceil(n_chunks / MAX_SCHED) morton-consecutive chunks — so its
+  SMEM table and XLA-side build cost stay bounded (<= MAX_SCHED
+  entries/tile) at any scene size; the kernel walks the scheduled
+  superchunks and culls their member chunks individually. Stock
+  scenes (< MAX_SCHED chunks) get g = 1: per-chunk scheduling.
+
 HBM traffic is phi reads + (TILE_N,) outputs; skipped chunks cost a few
 VPU ops. The same shape serves any_hit (bool accumulate + tmax cull).
 """
@@ -40,6 +47,11 @@ from tracer_tpu.ops import shapes
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 TILE_N = 2048     # rays per tile (lanes)
+# Max schedule entries per tile: chunks group into superchunks of
+# g = ceil(n_chunks / MAX_SCHED) so the SMEM order table is (n_tiles,
+# <=MAX_SCHED) int32 and the XLA-side schedule build is O(MAX_SCHED * N)
+# regardless of scene size.
+MAX_SCHED = 64
 # Triangles per chunk are derived per call from the build-time
 # chunk_bounds granularity (intersect.build_dense pads large scenes to
 # 256): 256 beats 128 by ~1.5x on mid-size scenes (fewer, larger
@@ -72,9 +84,38 @@ def _pack_phi(phi):
     return jnp.concatenate([ph, plo, ph], axis=0)
 
 
-def _scores(coeffs, phi_cat, tmax):
-    """coeffs (4C, 48) bf16 packed, phi_cat (48, TILE_N) bf16 packed ->
-    (valid, t) each (C, TILE_N).
+def _blocks(coeffs, lane_major: bool):
+    """Split the packed coefficient operand into its four determinant
+    blocks + a matmul closure, for either storage layout:
+
+      sublane-major (4C, 48): rows on sublanes, K=48 on lanes (padded
+        to 128 in VMEM — 2.7x footprint, but the fastest MXU feed;
+        the default for stock scenes).
+      lane-major (48, 4C): rows on lanes, K=48 on sublanes (exact
+        footprint — 48 = 3 bf16 sublane tiles; required for big scenes
+        where the padded form would blow VMEM: a 139k-tri scene's
+        coefficients are 54MB exact but 136MB padded, and the MXU
+        contracts dim 0 of both operands directly at a modest
+        throughput cost).
+    """
+    if lane_major:
+        c = coeffs.shape[1] // 4
+        blk = lambda b: coeffs[:, b * c:(b + 1) * c]
+        dims = (((0,), (0,)), ((), ()))
+    else:
+        c = coeffs.shape[0] // 4
+        blk = lambda b: coeffs[b * c:(b + 1) * c]
+        dims = (((1,), (0,)), ((), ()))
+
+    def mm(b, phi_cat):
+        return jax.lax.dot_general(blk(b), phi_cat, dims,
+                                   preferred_element_type=jnp.float32)
+    return mm
+
+
+def _scores(coeffs, phi_cat, tmax, lane_major: bool):
+    """coeffs packed bf16 (layout per _blocks), phi_cat (48, TILE_N)
+    bf16 packed -> (valid, t) each (C, TILE_N).
 
     bf16x3 arithmetic (x*y ~ xh*yh + xh*yl + xl*yh, f32 accumulation,
     ~2^-22 relative error — far below the geometric epsilons) is packed
@@ -94,23 +135,20 @@ def _scores(coeffs, phi_cat, tmax):
     triangles. Per-block products cap the live set at a few (C, N)
     buffers.
     """
-    c = coeffs.shape[0] // 4
-    mm = lambda rows: jnp.dot(rows, phi_cat,
-                              preferred_element_type=jnp.float32)
-
-    a = mm(coeffs[:c])
+    mm = _blocks(coeffs, lane_major)
+    a = mm(0, phi_cat)
     nondeg = jnp.abs(a) >= shapes.TRI_EPS
     inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
-    t = mm(coeffs[c:2 * c]) * inv_a
+    t = mm(1, phi_cat) * inv_a
     valid = nondeg & (t > 0) & (t < tmax)
-    u = mm(coeffs[2 * c:3 * c]) * inv_a
+    u = mm(2, phi_cat) * inv_a
     valid &= u >= 0
-    v = -(mm(coeffs[3 * c:]) * inv_a)
+    v = -(mm(3, phi_cat) * inv_a)
     valid &= (v >= 0) & (u + v <= 1)
     return valid, jnp.where(valid, t, jnp.inf)
 
 
-def _scores_any(coeffs, phi_cat, tmax):
+def _scores_any(coeffs, phi_cat, tmax, lane_major: bool):
     """Validity-only variant for shadow queries: all Moller tests run in
     multiplied space (u >= 0  <=>  nu*a >= 0, u+v <= 1  <=>
     (nu-nv)*a <= a^2, t < tmax  <=>  nt*a < tmax*a^2, ...), so the
@@ -119,24 +157,42 @@ def _scores_any(coeffs, phi_cat, tmax):
     magnitude tests differ from the divide form by <= 1 ulp at the
     boundary, far inside the geometric epsilons.
     """
-    c = coeffs.shape[0] // 4
-    mm = lambda rows: jnp.dot(rows, phi_cat,
-                              preferred_element_type=jnp.float32)
-
-    a = mm(coeffs[:c])
+    mm = _blocks(coeffs, lane_major)
+    a = mm(0, phi_cat)
     a2 = a * a
     valid = a2 >= shapes.TRI_EPS * shapes.TRI_EPS
-    nt_a = mm(coeffs[c:2 * c]) * a
+    nt_a = mm(1, phi_cat) * a
     valid &= (nt_a > 0) & (nt_a < tmax * a2)
-    nu_a = mm(coeffs[2 * c:3 * c]) * a
+    nu_a = mm(2, phi_cat) * a
     valid &= nu_a >= 0
-    nv_a = mm(coeffs[3 * c:]) * a
+    nv_a = mm(3, phi_cat) * a
     valid &= (nv_a <= 0) & (nu_a - nv_a <= a2)
     return valid
 
 
+def _superchunk_bounds(chunk_bounds, g: int):
+    """Group g morton-consecutive chunks into one scheduling superchunk:
+    (n_chunks, 8) -> (ceil(n_chunks/g), 8). Padding members carry the
+    empty inverted box (+inf lo / -inf hi), which min/max absorbs."""
+    n_chunks = chunk_bounds.shape[0]
+    n_super = -(-n_chunks // g)
+    pad = n_super * g - n_chunks
+    if pad:
+        empty = jnp.concatenate([
+            jnp.full((pad, 3), jnp.inf, jnp.float32),
+            jnp.full((pad, 3), -jnp.inf, jnp.float32),
+            jnp.zeros((pad, 2), jnp.float32)], axis=1)
+        chunk_bounds = jnp.concatenate([chunk_bounds, empty], axis=0)
+    grp = chunk_bounds.reshape(n_super, g, 8)
+    return jnp.concatenate([
+        jnp.min(grp[:, :, 0:3], axis=1),
+        jnp.max(grp[:, :, 3:6], axis=1),
+        jnp.zeros((n_super, 2), jnp.float32)], axis=1)
+
+
 def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles):
-    """Per-ray-tile near-to-far chunk visitation schedule (XLA side).
+    """Per-ray-tile near-to-far (super)chunk visitation schedule
+    (XLA side).
 
     For every (tile, chunk) pair: slab-test the tile's rays against the
     chunk AABB at the ray tmax and reduce to the tile's nearest entry
@@ -193,13 +249,13 @@ def _chunk_cull(phi, bounds_ref, ci, upper):
     return tmax_ > tmin
 
 
-def _closest_kernel(chunk_t: int, phi_ref, coeffs_ref,
-                    tmax_ref, bounds_ref, order_ref, count_ref,
-                    best_t_ref, best_i_ref):
+def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
+                    phi_ref, coeffs_ref, tmax_ref, bounds_ref, order_ref,
+                    count_ref, best_t_ref, best_i_ref):
     """Grid is (ray tiles,) only: the chunk loop runs in-kernel following
-    this tile's near-to-far schedule (order/count from _tile_chunk_order)
-    so unreachable chunks are never visited and far chunks die on the
-    best-t slab cull."""
+    this tile's near-to-far schedule (order/count from _tile_chunk_order,
+    superchunk granularity g) so unreachable superchunks are never
+    visited and far chunks die on the best-t slab cull."""
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi)
     tmax = tmax_ref[:]
@@ -208,15 +264,21 @@ def _closest_kernel(chunk_t: int, phi_ref, coeffs_ref,
 
     ti = pl.program_id(0)
 
-    def body(r, _):
-        ci = order_ref[ti, r]
+    def body(rr, _):
+        # rr walks the flattened (scheduled superchunk, member) sequence
+        ci = order_ref[ti, rr // g] * g + rr % g
+        in_range = ci < n_chunks
+        ci = jnp.minimum(ci, n_chunks - 1)
         upper = jnp.minimum(tmax, best_t_ref[:])
         may_hit = _chunk_cull(phi, bounds_ref, ci, upper)
 
-        @pl.when(jnp.any(may_hit))
+        @pl.when(in_range & jnp.any(may_hit))
         def _():
-            coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
-            valid, t = _scores(coeffs, phi_cat, tmax)
+            if lane_major:
+                coeffs = coeffs_ref[:, pl.ds(ci * 4 * chunk_t, 4 * chunk_t)]
+            else:
+                coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
+            valid, t = _scores(coeffs, phi_cat, tmax, lane_major)
             loc_t = jnp.min(t, axis=0)
             loc_i = jnp.argmin(t, axis=0).astype(jnp.int32) + ci * chunk_t
             better = loc_t < best_t_ref[:]
@@ -225,11 +287,12 @@ def _closest_kernel(chunk_t: int, phi_ref, coeffs_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, count_ref[ti], body, 0)
+    jax.lax.fori_loop(0, count_ref[ti] * g, body, 0)
 
 
-def _any_kernel(chunk_t: int, phi_ref, coeffs_ref, tmax_ref,
-                bounds_ref, order_ref, count_ref, hit_ref):
+def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
+                phi_ref, coeffs_ref, tmax_ref, bounds_ref, order_ref,
+                count_ref, hit_ref):
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi)
     tmax = tmax_ref[:]
@@ -237,36 +300,67 @@ def _any_kernel(chunk_t: int, phi_ref, coeffs_ref, tmax_ref,
 
     ti = pl.program_id(0)
 
-    def body(r, _):
-        ci = order_ref[ti, r]
+    def body(rr, _):
+        ci = order_ref[ti, rr // g] * g + rr % g
+        in_range = ci < n_chunks
+        ci = jnp.minimum(ci, n_chunks - 1)
         may_hit = _chunk_cull(phi, bounds_ref, ci, tmax) & ~hit_ref[:]
 
-        @pl.when(jnp.any(may_hit))
+        @pl.when(in_range & jnp.any(may_hit))
         def _():
-            coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
-            valid = _scores_any(coeffs, phi_cat, tmax)
+            if lane_major:
+                coeffs = coeffs_ref[:, pl.ds(ci * 4 * chunk_t, 4 * chunk_t)]
+            else:
+                coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
+            valid = _scores_any(coeffs, phi_cat, tmax, lane_major)
             hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
 
         return 0
 
-    jax.lax.fori_loop(0, count_ref[ti], body, 0)
+    jax.lax.fori_loop(0, count_ref[ti] * g, body, 0)
 
 
-def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks):
+# Above this many padded triangles the packed coefficients switch to the
+# lane-major layout: the sublane-major form's 48->128 lane padding costs
+# 2.7x VMEM (968 bytes/tri) and would overflow the scoped-vmem budget on
+# big scenes, while lane-major is exact (384 bytes/tri) at a modest
+# MXU-feed cost (only paid where it's the only option).
+LANE_MAJOR_MIN_TRIS = 32768
+
+
+def _use_lane_major(t_pad: int) -> bool:
+    import os
+    mode = os.environ.get("TRACER_COEFF_LAYOUT", "").lower()
+    if mode == "lane":
+        return True
+    if mode == "sublane":
+        return False
+    return t_pad > LANE_MAJOR_MIN_TRIS
+
+
+def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool):
     """Pad rays to TILE_N multiple and the feature axis 10 -> 16
     (sublane alignment for the MXU operand), then pre-pack the triangle
     coefficients as the K=48 bf16x3 left operand [rh | rh | rl] (see
-    _scores). Chunking matches the build-time chunk_bounds
-    granularity."""
+    _blocks) — sublane-major (rows, 48) for stock scenes, lane-major
+    (48, rows) for big ones. Chunking matches the build-time
+    chunk_bounds granularity."""
     t_pad = coeffs.shape[1]
     assert t_pad % n_chunks == 0, (t_pad, n_chunks)
     chunk_t = t_pad // n_chunks
     n_pad = -(-n // TILE_N) * TILE_N
     coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, 6)))
     coeffs = coeffs.reshape(4, n_chunks, chunk_t, 16)
-    coeffs = coeffs.transpose(1, 0, 2, 3).reshape(n_chunks * 4 * chunk_t, 16)
-    rh, rl = _split_bf16(coeffs)
-    coeffs = jnp.concatenate([rh, rh, rl], axis=-1)   # (rows, 48) bf16
+    if lane_major:
+        coeffs = coeffs.transpose(3, 1, 0, 2).reshape(
+            16, n_chunks * 4 * chunk_t)
+        rh, rl = _split_bf16(coeffs)
+        coeffs = jnp.concatenate([rh, rh, rl], axis=0)    # (48, rows)
+    else:
+        coeffs = coeffs.transpose(1, 0, 2, 3).reshape(
+            n_chunks * 4 * chunk_t, 16)
+        rh, rl = _split_bf16(coeffs)
+        coeffs = jnp.concatenate([rh, rh, rl], axis=-1)   # (rows, 48)
     phi = jnp.pad(phi_t, ((0, 6), (0, n_pad - n)))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     tmax = jnp.pad(tmax, (0, n_pad - n))
@@ -281,13 +375,16 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     import functools
     n = phi_t.shape[1]
     n_chunks = chunk_bounds.shape[0]
+    lane_major = _use_lane_major(coeffs.shape[1])
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
-        coeffs, phi_t, tmax, n, n_chunks)
+        coeffs, phi_t, tmax, n, n_chunks, lane_major)
     n_tiles = n_pad // TILE_N
-    order, count = _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles)
+    g = -(-n_chunks // MAX_SCHED)
+    sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
+    order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles)
     grid = (n_tiles,)
     best_t, best_i = pl.pallas_call(
-        functools.partial(_closest_kernel, chunk_t),
+        functools.partial(_closest_kernel, g, n_chunks, chunk_t, lane_major),
         grid=grid,
         in_specs=[
             pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
@@ -319,13 +416,16 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     import functools
     n = phi_t.shape[1]
     n_chunks = chunk_bounds.shape[0]
+    lane_major = _use_lane_major(coeffs.shape[1])
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
-        coeffs, phi_t, tmax, n, n_chunks)
+        coeffs, phi_t, tmax, n, n_chunks, lane_major)
     n_tiles = n_pad // TILE_N
-    order, count = _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles)
+    g = -(-n_chunks // MAX_SCHED)
+    sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
+    order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles)
     grid = (n_tiles,)
     hit = pl.pallas_call(
-        functools.partial(_any_kernel, chunk_t),
+        functools.partial(_any_kernel, g, n_chunks, chunk_t, lane_major),
         grid=grid,
         in_specs=[
             pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),

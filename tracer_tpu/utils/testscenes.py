@@ -117,3 +117,21 @@ def single_triangle(mat=None):
         mat = mat_row(kd=(0.8, 0.8, 0.8))
     tris = np.asarray([[[-1, -1, -2], [1, -1, -2], [0, 1, -2]]], np.float32)
     return tris, np.zeros((1,), np.uint32), mat[None]
+
+
+def subdivide(tris, tri_mats, levels: int = 1):
+    """Midpoint 1->4 triangle subdivision (levels times): same surface,
+    4^levels the triangle count. Big-scene stress helper — turns the
+    8716-face SpectrumSphereHigh into a 139k-face scene at levels=2."""
+    tris = np.asarray(tris, np.float32).reshape(-1, 3, 3)
+    tm = np.asarray(tri_mats)
+    for _ in range(levels):
+        a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+        ab, bc, ca = (a + b) * 0.5, (b + c) * 0.5, (c + a) * 0.5
+        tris = np.concatenate([
+            np.stack([a, ab, ca], axis=1),
+            np.stack([ab, b, bc], axis=1),
+            np.stack([ca, bc, c], axis=1),
+            np.stack([ab, bc, ca], axis=1)], axis=0)
+        tm = np.concatenate([tm, tm, tm, tm], axis=0)
+    return tris, tm
