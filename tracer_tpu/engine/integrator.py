@@ -241,7 +241,7 @@ def _rotation_stride(n: int) -> int:
 # either way.
 POOL_TARGET = 262144
 POOL_MIN = 8192
-ITEMS_TARGET = 128
+ITEMS_TARGET = 256
 _SMALL_SCENE_TRIS = 512
 
 

@@ -208,11 +208,16 @@ def _reintersect(dense: DenseTris, best_i, origin, d, tmax):
                                  rows_t[0:3], rows_t[3:6], rows_t[6:9])
 
 
-# Scenes below this many (padded) triangles run faster through the plain
-# XLA formulation: XLA fuses the one-chunk score matrix into the
-# surrounding pipeline, while pallas_call is a fusion barrier. Above it,
-# the kernel's VMEM-resident chunk loop wins (measured on v5e).
-PALLAS_MIN_TRIS = 1024
+# Padded-triangle count at/above which the Pallas kernel handles
+# queries on TPU. An early kernel revision lost to the XLA formulation
+# below ~1024 triangles (XLA fused the one-chunk score matrix into the
+# surrounding pipeline), but the current kernel — in-kernel scheduled
+# chunk loop, K-packed bf16x3, VMEM-only score matrices — beats the XLA
+# path ~7x even at 128 padded triangles (Cornell 262k lanes: closest
+# 6.2ms -> 0.89ms; the XLA path round-trips ~2GB of score/epilogue
+# intermediates through HBM per query). The XLA path remains the CPU
+# path and the independent test oracle.
+PALLAS_MIN_TRIS = 1
 
 
 def _use_pallas(t_pad: int) -> bool:
@@ -221,7 +226,7 @@ def _use_pallas(t_pad: int) -> bool:
     independent oracle in tests)."""
     if os.environ.get("TRACER_NO_PALLAS"):
         return False
-    if t_pad < PALLAS_MIN_TRIS:
+    if not os.environ.get("TRACER_FORCE_PALLAS") and t_pad < PALLAS_MIN_TRIS:
         return False
     try:
         return jax.default_backend() == "tpu"
