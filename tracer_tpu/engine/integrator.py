@@ -24,6 +24,7 @@ integrator.fut:62-69), per-bounce (distance, radiance) records of length
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -212,6 +213,27 @@ def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 # s of fixed (spp, n) stores via a one-hot row mask (dense VPU op). At
 # round s the lane->pixel map is a rotation by s*R, so the final
 # per-pixel binning is spp static jnp.rolls — no gather/scatter anywhere.
+#
+# Q-PERIODIC ROTATION. When the pool covers the whole frame (P == n —
+# the cornell/mirrorbox-class configs) the full-period rotation needs a
+# per-ITEM store: the one-hot row write touches the whole (m_items, P)
+# store every iteration (read+write ~670MB/iter at 256x262k — measured
+# 1.1ms, ~25% of the loop; a dynamic_slice window write was tried and
+# lost MORE — XLA copies the carried buffer instead of updating in
+# place). But the rotation's load-averaging saturates after a few
+# pixels per lane, so lane k's sample s works pixel
+# (k + (s mod Q) * stride) mod n with Q = ROT_Q: per-lane load still
+# averages over Q well-separated pixels (mirrorbox, all-deep specular
+# paths: direct binding Q=1 loses 17% to tail-binding; Q=8 recovers
+# it), while results fold into Q ACCUMULATING store rows — ~50MB/iter
+# of masked adds instead of 670MB of row writes, and binning is Q
+# static rolls. Q=1 degenerates to direct lane==pixel accumulation.
+# The full-period rotation + per-item stores remain for P < n (the
+# heavy-scene occupancy configs, where the store is small and the
+# P-cycling needs the full item machinery anyway).
+# Measured on cornell-256spp: Q=4: 236, Q=8: 245, Q=16: 252, Q=32: 236
+# Mrays/s (load-averaging saturates, then store adds dominate).
+ROT_Q = int(os.environ.get("TRACER_ROT_Q", "16"))
 
 
 def _rotation_stride(n: int) -> int:
@@ -294,11 +316,14 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     conf = cam.conf
     n_channels = conf.sensor_color.shape[0]
     color_mode = render_mode != "distance"
-    stride = _rotation_stride(n)
     pool = _pool_size(n, spp, _scene_t_pad(scene))  # P lanes; P | n
+    qrot = pool == n                   # Q-PERIODIC ROTATION note above
+    stride = _rotation_stride(n)
     m_items = (n * spp) // pool        # work items per lane
+    n_q = max(1, min(ROT_Q, m_items)) if qrot else 0  # rotation period
     lane = jnp.arange(pool, dtype=jnp.int32)
-    srow = jnp.arange(m_items, dtype=jnp.int32)[:, None]  # store row ids
+    srow = (jnp.arange(n_q, dtype=jnp.int32)[:, None] if qrot
+            else jnp.arange(m_items, dtype=jnp.int32)[:, None])
 
     ambience = jnp.asarray(ambience, jnp.float32)
     seed = jnp.asarray(seed, jnp.uint32)
@@ -312,9 +337,15 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     # row m maps lane k -> pixel (shift_m + k) mod n for the STATIC
     # shift_m below — binning stays a roll even when P < n.
     import numpy as _np
-    _mp = _np.arange(m_items, dtype=_np.int64) * pool
-    bin_shifts = jnp.asarray(
-        (_mp % n + (_mp // n) * stride) % n, jnp.int32)
+    if qrot:
+        # Q-periodic: store row q collects every sample at phase
+        # s mod Q, whose lane->pixel map is a rotation by q*stride.
+        bin_shifts = jnp.asarray(
+            (_np.arange(n_q, dtype=_np.int64) * stride) % n, jnp.int32)
+    else:
+        _mp = _np.arange(m_items, dtype=_np.int64) * pool
+        bin_shifts = jnp.asarray(
+            (_mp % n + (_mp // n) * stride) % n, jnp.int32)
 
     zero_n = jnp.zeros((pool,), jnp.float32)
     init = dict(
@@ -340,20 +371,38 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         rays=jnp.int32(0),
         it=jnp.int32(0),
     )
-    # per-item stores: row m holds the reduced result of the lane's m-th
-    # work item; binned into pixels by static rolls after the loop
-    if color_mode:
-        init["rad_st"] = jnp.zeros((m_items, pool), jnp.float32)
-        # channel ids are 0..2; int8 quarters the per-iteration HBM
-        # traffic of the store update
-        init["chan_st"] = jnp.zeros((m_items, pool), jnp.int8)
-    if not color_mode or with_points:
-        init["mind_st"] = jnp.full((m_items, pool), jnp.inf, jnp.float32)
+    # Accumulation state. qrot: n_q ACCUMULATING rows — row q holds the
+    # running merge of every sample at phase s mod Q (color: channel-
+    # folded sum; distance: first-in-s return; points: min-d return).
+    # Otherwise per-item stores: row m holds the reduced result of the
+    # lane's m-th work item, binned by static rolls after the loop.
+    if qrot:
+        if color_mode:
+            init["acc3q"] = jnp.zeros((3, n_q, pool), jnp.float32)
+        else:
+            # distance viz: FIRST sample (smallest s) with a windowed
+            # return wins; first_s is the cross-phase tiebreaker
+            init["first_s"] = jnp.full((n_q, pool), m_items, jnp.int32)
+            init["first_d"] = jnp.full((n_q, pool), jnp.inf, jnp.float32)
+    else:
+        if color_mode:
+            init["rad_st"] = jnp.zeros((m_items, pool), jnp.float32)
+            # channel ids are 0..2; int8 quarters the per-iteration HBM
+            # traffic of the store update
+            init["chan_st"] = jnp.zeros((m_items, pool), jnp.int8)
+        if not color_mode or with_points:
+            init["mind_st"] = jnp.full((m_items, pool), jnp.inf, jnp.float32)
     if with_points:
         init["sample_pos"] = jnp.zeros((3, pool), jnp.float32)
         init["sample_int"] = zero_n
-        init["pos_st"] = jnp.zeros((3, m_items, pool), jnp.float32)
-        init["int_st"] = jnp.zeros((m_items, pool), jnp.float32)
+        if qrot:
+            # closest return per pixel: strict min across samples
+            init["acc_pd"] = jnp.full((n_q, pool), jnp.inf, jnp.float32)
+            init["acc_pos"] = jnp.zeros((3, n_q, pool), jnp.float32)
+            init["acc_int"] = jnp.zeros((n_q, pool), jnp.float32)
+        else:
+            init["pos_st"] = jnp.zeros((3, m_items, pool), jnp.float32)
+            init["int_st"] = jnp.zeros((m_items, pool), jnp.float32)
 
     max_iters = m_items * PATH_LEN + PATH_LEN + 4
 
@@ -369,10 +418,14 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         wrap = base_adv >= n
         base_adv = base_adv - jnp.where(wrap, jnp.int32(n), 0)
         s_adv = c["s"] + wrap.astype(jnp.int32)
-        pix_adv = c["pix"] + jnp.int32(pool) + jnp.where(
-            wrap, jnp.int32(stride), 0)
-        pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
-        pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
+        if qrot:
+            # pixel (lane + (s mod Q) * stride) mod n — Q-periodic
+            pix_adv = (lane + (s_adv % n_q) * jnp.int32(stride)) % jnp.int32(n)
+        else:
+            pix_adv = c["pix"] + jnp.int32(pool) + jnp.where(
+                wrap, jnp.int32(stride), 0)
+            pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
+            pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
         base = jnp.where(start, base_adv, c["base"])
         s_ix = jnp.where(start, s_adv, c["s"])
         pix = jnp.where(start, pix_adv, c["pix"])
@@ -413,11 +466,40 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         return out
 
     def finish_samples(c, ended):
-        """Close out lanes whose path just died: write the sample's
-        reduced result into store row done (its sample index)."""
-        sel = (srow == c["done"][None, :]) & ended[None, :]  # (m_items, P)
+        """Close out lanes whose path just died: merge the sample's
+        reduced result into its phase's accumulating row (qrot) or
+        write it into store row done (its sample index)."""
         out = dict(c, done=c["done"] + ended.astype(jnp.int32),
                    active=c["active"] & ~ended)
+        if qrot:
+            sel = (srow == (c["done"] % n_q)[None, :]) & ended[None, :]
+            if color_mode:
+                # route radiance to the sample's channel color; the
+                # channel select is a static C<=3 chain, no gather
+                contrib = jnp.zeros((3, pool), jnp.float32)
+                for ci in range(n_channels):
+                    contrib = contrib + conf.sensor_color[ci][:, None] * \
+                        jnp.where(c["chan"] == ci, c["sample_rad"], 0.0)
+                out["acc3q"] = c["acc3q"] + jnp.where(
+                    sel[None], contrib[:, None, :], 0.0)
+            else:
+                got = (sel & jnp.isfinite(c["sample_min_d"])[None]
+                       & (c["first_s"] >= m_items))
+                out["first_s"] = jnp.where(got, c["done"][None],
+                                           c["first_s"])
+                out["first_d"] = jnp.where(got, c["sample_min_d"][None],
+                                           c["first_d"])
+            if with_points:
+                better = sel & (c["sample_min_d"][None] < c["acc_pd"])
+                out["acc_pd"] = jnp.where(better, c["sample_min_d"][None],
+                                          c["acc_pd"])
+                out["acc_pos"] = jnp.where(better[None],
+                                           c["sample_pos"][:, None, :],
+                                           c["acc_pos"])
+                out["acc_int"] = jnp.where(better, c["sample_int"][None],
+                                           c["acc_int"])
+            return out
+        sel = (srow == c["done"][None, :]) & ended[None, :]  # (m_items, P)
         if color_mode:
             out["rad_st"] = jnp.where(sel, c["sample_rad"][None, :],
                                       c["rad_st"])
@@ -512,6 +594,49 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                        constant_values=fill)
 
     result = {}
+    if qrot:
+        # bin the n_q accumulating rows: row q -> roll by q*stride
+        if color_mode:
+            acc = jnp.zeros((3, n), jnp.float32)
+            for q in range(n_q):
+                acc = acc + jnp.roll(out["acc3q"][:, q], bin_shifts[q],
+                                     axis=1)
+            img_t = acc * (jnp.float32(n_channels) * spp_factor)
+        else:
+            # first return across phases = smallest sample index
+            best_s = jnp.full((n,), m_items, jnp.int32)
+            dmin = jnp.full((n,), jnp.inf, jnp.float32)
+            for q in range(n_q):
+                s_r = jnp.roll(out["first_s"][q], bin_shifts[q])
+                d_r = jnp.roll(out["first_d"][q], bin_shifts[q])
+                better = s_r < best_s
+                best_s = jnp.where(better, s_r, best_s)
+                dmin = jnp.where(better, d_r, dmin)
+            has = best_s < m_items
+            hue = 0.85 * (dmin - LIDAR_MIN_D) / (LIDAR_MAX_D - LIDAR_MIN_D)
+            rgb = hue_to_rgb(jnp.where(has, hue, 0.0))
+            img_t = jnp.where(has, rgb, 0.0)
+        result["img"] = la.v3_to_array(img_t).reshape(h, w, 3)
+        result["rays_traced"] = out["rays"]
+        result["iters"] = out["it"]
+        if with_points:
+            best_d = jnp.full((n,), jnp.inf, jnp.float32)
+            best_pos = jnp.full((3, n), -1.0, jnp.float32)
+            best_int = jnp.zeros((n,), jnp.float32)
+            for q in range(n_q):
+                d_r = jnp.roll(out["acc_pd"][q], bin_shifts[q])
+                p_r = jnp.roll(out["acc_pos"][:, q], bin_shifts[q], axis=1)
+                i_r = jnp.roll(out["acc_int"][q], bin_shifts[q])
+                better = d_r < best_d
+                best_d = jnp.where(better, d_r, best_d)
+                best_pos = jnp.where(better, p_r, best_pos)
+                best_int = jnp.where(better, i_r, best_int)
+            has_p = jnp.isfinite(best_d)
+            result["points"] = (
+                jnp.where(has_p, best_pos, -1.0),
+                jnp.where(has_p, best_d, jnp.inf),
+                jnp.where(has_p, best_int, 0.0))
+        return result
     if color_mode:
         sensor_color = conf.sensor_color  # (C, 3)
 
