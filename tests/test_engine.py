@@ -322,26 +322,34 @@ def test_prism_scene_disperses():
 
 
 def test_pool_size_invariance(monkeypatch):
-    """The rotation work-item schedule must produce BITWISE-identical
-    images, points, and distances for any pool size P | n: the pool is
-    a scheduling choice, not an estimator parameter (integrator.
-    _pool_size)."""
+    """The work-item schedule draws identical per-pixel sample sets for
+    any pool size P | n: the pool is a scheduling choice, not an
+    estimator parameter (integrator._pool_size). At spp <= ROT_Q every
+    Q-rotation phase row holds one sample, so the P == n path is
+    BITWISE equal to the store path; at spp > ROT_Q the phase-major
+    accumulation reassociates the per-pixel f32 sum, so equality is to
+    float tolerance only."""
     s = cornell_state(16, 16)
     w, h = s.sub_dims
 
-    def render(target):
+    def render(target, spp=4):
         if target:
             monkeypatch.setenv("TRACER_POOL_TARGET", str(target))
         else:
             monkeypatch.delenv("TRACER_POOL_TARGET", raising=False)
         return integrator.render_pooled(
             s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
-            s.transmitter_kind, 4, s.render_mode)
+            s.transmitter_kind, spp, s.render_mode)
 
     full = np.asarray(render(None)["img"])
     for target in (64, 32):
         small = np.asarray(render(target)["img"])
         np.testing.assert_array_equal(small, full)
+
+    # spp > ROT_Q: same samples, reassociated sum
+    full20 = np.asarray(render(None, spp=20)["img"])
+    small20 = np.asarray(render(64, spp=20)["img"])
+    np.testing.assert_allclose(small20, full20, rtol=1e-4, atol=1e-6)
 
     # LiDAR mode: points and distance visualization too
     s2 = cornell_state(12, 12, conf=2)

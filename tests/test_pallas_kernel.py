@@ -61,6 +61,23 @@ def test_pallas_superchunk_schedule(rng_np, monkeypatch):
     np.testing.assert_array_equal(np.asarray(hp), np.asarray(hp1))
 
 
+def test_schedule_axis_parallel_ray_on_bound_plane():
+    """An axis-parallel ray (d[k] == 0) whose origin sits exactly on a
+    chunk bound plane hits 0 * inf = NaN in the slab test; the
+    scheduler must treat that axis as pass (superset) rather than let
+    the NaN exclude a reachable chunk (light leak at g > 1)."""
+    import jax.numpy as jnp
+    # one chunk spanning x in [0, 1]: ray along -z with origin x == 0
+    bounds = jnp.asarray([[0.0, -1.0, -5.0, 1.0, 1.0, 5.0, 0.0, 0.0]])
+    o = jnp.asarray([[0.0], [0.0], [4.0]], jnp.float32)
+    d = jnp.asarray([[0.0], [0.0], [-1.0]], jnp.float32)
+    phi = intersect.ray_features_t(o, d)
+    phi = jnp.pad(phi, ((0, 6), (0, pk.TILE_N - 1)))
+    tmaxv = jnp.full((pk.TILE_N,), 1e30, jnp.float32)
+    order, count = pk._tile_chunk_order(phi, tmaxv, bounds, 1)
+    assert int(count[0]) == 1  # NaN would have dropped it
+
+
 def test_pallas_lane_major_layout(rng_np, monkeypatch):
     """The big-scene lane-major (48, rows) coefficient layout (forced
     via TRACER_COEFF_LAYOUT) matches the default sublane-major one."""
@@ -83,13 +100,17 @@ def test_pallas_lane_major_layout(rng_np, monkeypatch):
                                      dense.chunk_bounds, interpret=True)
     hp1 = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds,
                             interpret=True)
-    # layouts reassociate the K=48 contraction: ~1e-6 relative, same hits
+    # layouts reassociate the K=48 contraction (~1e-6 relative), so
+    # hits/any within that band of a boundary may flip: agreement rate,
+    # not exact equality
     hit = np.isfinite(np.asarray(bt))
-    np.testing.assert_array_equal(hit, np.isfinite(np.asarray(bt1)))
-    np.testing.assert_allclose(np.asarray(bt)[hit], np.asarray(bt1)[hit],
+    hit1 = np.isfinite(np.asarray(bt1))
+    assert (hit == hit1).mean() > 0.99
+    both = hit & hit1
+    np.testing.assert_allclose(np.asarray(bt)[both], np.asarray(bt1)[both],
                                rtol=1e-5, atol=1e-6)
-    assert (np.asarray(bi)[hit] == np.asarray(bi1)[hit]).mean() > 0.99
-    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hp1))
+    assert (np.asarray(bi)[both] == np.asarray(bi1)[both]).mean() > 0.99
+    assert (np.asarray(hp) == np.asarray(hp1)).mean() > 0.99
 
 
 def test_pallas_per_ray_tmax(rng_np):

@@ -584,9 +584,12 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     # ------------------------------------------------------------------
     # Binning: store row m maps lane k -> pixel (bin_shifts[m] + k) mod n
     # (static shifts); a row's values occupy the padded segment's first P
-    # slots, neutral elsewhere. Item order is monotone in sample index,
-    # so per-pixel accumulation runs in sample order, matching the
-    # reference's per-frame sum order.
+    # slots, neutral elsewhere. On this (P < n) path item order is
+    # monotone in sample index, so per-pixel accumulation runs in sample
+    # order, matching the reference's per-frame sum order. (The qrot
+    # path above reassociates: phase-major order — same sample set,
+    # float-tolerance equality; distance/points semantics are preserved
+    # exactly via the first_s tiebreaker and the min-d merge.)
     def pad_row(row, fill):
         if pool == n:
             return row

@@ -145,7 +145,7 @@ def ray_features_t(origin, d):
 
 def _use_packed_bf16() -> bool:
     """K-packed bf16x3 scores on real TPUs (one MXU pass instead of the
-    six of Precision.HIGHEST, ~2^-22 relative error — same arithmetic as
+    six of Precision.HIGHEST, ~2^-15 relative error — same arithmetic as
     the Pallas kernel); exact f32 elsewhere (CPU tests/oracle).
     TRACER_MXU_PRECISION=highest forces the exact path everywhere;
     =packed forces the bf16x3 path (precision tests on CPU)."""
@@ -208,25 +208,21 @@ def _reintersect(dense: DenseTris, best_i, origin, d, tmax):
                                  rows_t[0:3], rows_t[3:6], rows_t[6:9])
 
 
-# Padded-triangle count at/above which the Pallas kernel handles
-# queries on TPU. An early kernel revision lost to the XLA formulation
-# below ~1024 triangles (XLA fused the one-chunk score matrix into the
-# surrounding pipeline), but the current kernel — in-kernel scheduled
-# chunk loop, K-packed bf16x3, VMEM-only score matrices — beats the XLA
-# path ~7x even at 128 padded triangles (Cornell 262k lanes: closest
-# 6.2ms -> 0.89ms; the XLA path round-trips ~2GB of score/epilogue
-# intermediates through HBM per query). The XLA path remains the CPU
-# path and the independent test oracle.
-PALLAS_MIN_TRIS = 1
-
-
 def _use_pallas(t_pad: int) -> bool:
-    """Fuse via the Pallas kernel on real TPUs for large triangle counts;
-    the XLA formulation stays the default elsewhere (and serves as an
-    independent oracle in tests)."""
+    """The Pallas kernel handles every query on real TPUs; the XLA
+    formulation is the CPU path and the independent test oracle
+    (TRACER_NO_PALLAS forces it on TPU too).
+
+    There used to be a >=1024-triangle gate here: an early kernel
+    revision lost to the XLA formulation on small scenes (XLA fused the
+    one-chunk score matrix into the surrounding pipeline). The current
+    kernel — in-kernel scheduled chunk loop, K-packed bf16x3, VMEM-only
+    score matrices — beats the XLA path ~7x even at 128 padded
+    triangles (Cornell 262k lanes: closest 6.2ms -> 0.89ms; the XLA
+    path round-trips ~2GB of score/epilogue intermediates through HBM
+    per query), so the gate is gone."""
+    del t_pad
     if os.environ.get("TRACER_NO_PALLAS"):
-        return False
-    if not os.environ.get("TRACER_FORCE_PALLAS") and t_pad < PALLAS_MIN_TRIS:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -251,7 +247,9 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
         best_i = jnp.where(ok, best_i, 0)
         ok2, t, pos, normal = _reintersect(
             dense, best_i, origin, d,
-            jnp.asarray(tmax, jnp.float32) * (1.0 + 1e-6))
+            # slack covers the kernel's bf16x3 t error (~2^-15 relative)
+            # so a true winner isn't rejected by the exact re-test
+            jnp.asarray(tmax, jnp.float32) * (1.0 + 1e-4))
         ok = ok & ok2
         return (ok, jnp.where(ok, t, jnp.inf),
                 jnp.where(ok, best_i, -1), pos, normal)
@@ -288,7 +286,7 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
     ok = jnp.isfinite(best_t)
     best_i = jnp.where(ok, best_i, 0)
     ok2, t, pos, normal = _reintersect(dense, best_i, origin, d,
-                                       tmax * (1.0 + 1e-6))
+                                       tmax * (1.0 + 1e-4))
     ok = ok & ok2
     return (ok, jnp.where(ok, t, jnp.inf),
             jnp.where(ok, best_i, -1), pos, normal)

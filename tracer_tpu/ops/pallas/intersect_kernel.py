@@ -118,7 +118,9 @@ def _scores(coeffs, phi_cat, tmax, lane_major: bool):
     bf16 packed -> (valid, t) each (C, TILE_N).
 
     bf16x3 arithmetic (x*y ~ xh*yh + xh*yl + xl*yh, f32 accumulation,
-    ~2^-22 relative error — far below the geometric epsilons) is packed
+    ~2^-15 relative error: hi+lo carry ~16 mantissa bits and the xl*yl
+    term is dropped — within the geometric epsilon budget, see
+    _reintersect) is packed
     into ONE K=48 matmul instead of three K=16 passes:
 
         [xh | xh | xl] @ [yh; yl; yh]  ==  xh@yh + xh@yl + xl@yh
@@ -205,18 +207,31 @@ def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles):
     chunks so the in-kernel cull (upper = min(tmax, best_t)) rejects the
     far tail — an O(hit chunks) loop instead of O(all chunks) for
     coherent tiles. Scheduling is an optimization only: any order/count
-    superset yields identical results (min over a superset of chunks).
+    superset yields the same hit set and best-t (min over a superset of
+    chunks); on EXACT t ties between triangles in different chunks the
+    winning index follows visitation order, which is per-tile here
+    rather than the XLA path's chunk-index order.
     """
     def one(bound):
         tmin = jnp.zeros(phi.shape[1:], jnp.float32)
         tmx = tmaxv
         for k in range(3):
-            inv = 1.0 / phi[k]
+            # Axis-parallel rays (d[k] == 0) whose origin sits exactly on
+            # a bound plane produce 0 * inf = NaN, which would poison the
+            # comparison into "unreachable" and (unlike the g == 1 case,
+            # where scheduler and kernel test the same box) silently drop
+            # a member chunk the kernel WOULD visit. Treat d[k] == 0 as
+            # always-pass on this axis: a superset, so scheduling stays
+            # a pure optimization.
+            par = phi[k] == 0.0
+            inv = 1.0 / jnp.where(par, 1.0, phi[k])
             t0 = (bound[k] - phi[3 + k]) * inv
             t1 = (bound[3 + k] - phi[3 + k]) * inv
-            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
-            tmx = jnp.minimum(tmx, jnp.maximum(t0, t1)
-                              * (1.0 + shapes.AABB_EPS))
+            tmin = jnp.maximum(tmin, jnp.where(par, 0.0,
+                                               jnp.minimum(t0, t1)))
+            tmx = jnp.minimum(tmx, jnp.where(par, tmaxv,
+                                             jnp.maximum(t0, t1)
+                                             * (1.0 + shapes.AABB_EPS)))
         # fully-padded chunks carry an inverted +inf/-inf box, which the
         # slab test does NOT reject (per-axis lo=-inf, hi=+inf) — key
         # them out explicitly so they never enter any tile's schedule
