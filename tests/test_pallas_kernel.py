@@ -113,6 +113,37 @@ def test_pallas_lane_major_layout(rng_np, monkeypatch):
     assert (np.asarray(hp) == np.asarray(hp1)).mean() > 0.99
 
 
+def test_pallas_streaming_matches_resident(rng_np, monkeypatch):
+    """The HBM-streaming double-buffered-DMA kernels (forced via
+    TRACER_STREAM_COEFFS=1) match the VMEM-resident lane-major path
+    exactly (same layout, same arithmetic — only the data movement
+    differs)."""
+    monkeypatch.setattr(pk, "MAX_SCHED", 3)  # exercise g > 1 too
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (1100, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 300
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+
+    monkeypatch.setenv("TRACER_STREAM_COEFFS", "1")
+    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                   dense.chunk_bounds, interpret=True)
+    hp = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds,
+                           interpret=True)
+    monkeypatch.setenv("TRACER_STREAM_COEFFS", "0")
+    monkeypatch.setenv("TRACER_COEFF_LAYOUT", "lane")
+    bt1, bi1 = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                     dense.chunk_bounds, interpret=True)
+    hp1 = pk.any_hit_pallas(dense.coeffs, phi, 4.0, dense.chunk_bounds,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(bt), np.asarray(bt1))
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(bi1))
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hp1))
+
+
 def test_pallas_per_ray_tmax(rng_np):
     tris = jnp.asarray(rng_np.uniform(-2, 2, (64, 3, 3)).astype(np.float32))
     dense = intersect.build_dense(tris)

@@ -31,12 +31,14 @@ Accel = Union[intersect.DenseTris, bvh_mod.LBVH]
 # for every stock scene (traversal while_loops are memory-latency bound and
 # the nested-loop form faults the v5e runtime inside the pooled renderer),
 # so dense is the production default; LBVH remains for parity, tests, and
-# host-side experimentation. The cap is the Pallas kernel's VMEM budget
-# for the packed coefficients (~384 bytes/tri: rows = 4*T_pad of 48
-# bf16 each, ~61MB at the cap, within the 100MB scoped-vmem limit with
-# the ~12MB of epilogue temporaries); superchunk-granular scheduling
-# (pallas/intersect_kernel.MAX_SCHED) keeps schedule tables bounded.
-DENSE_THRESHOLD = 163840
+# host-side experimentation. Past ~125k triangles the packed
+# coefficients leave VMEM for HBM and stream through a double-buffered
+# DMA scratch (pallas/intersect_kernel._use_streaming), so the cap is
+# set by the per-chunk SMEM bounds table and by throughput (a flat
+# chunk stream is O(reachable chunks) per ray), not by memory;
+# superchunk-granular scheduling (MAX_SCHED) keeps schedule tables
+# bounded at any size.
+DENSE_THRESHOLD = 1048576
 
 
 class Scene(NamedTuple):

@@ -353,6 +353,151 @@ def _use_lane_major(t_pad: int) -> bool:
     return t_pad > LANE_MAJOR_MIN_TRIS
 
 
+# Above this many bytes of packed coefficients the kernels switch to
+# STREAMING: coefficients stay HBM-resident (memory_space=ANY) and each
+# tile DMAs its scheduled chunks through a 2-slot VMEM scratch,
+# double-buffered so the copy of chunk r+1 overlaps the matmul of
+# chunk r. The prefetch-time cull also gates the DMA: upper bounds only
+# shrink (best-t monotone, tmax fixed), so a chunk culled at prefetch
+# time would also be culled at visit time — skipping its copy is sound.
+# TRACER_STREAM_COEFFS=1 forces streaming (tests); =0 forbids it.
+_STREAM_BYTES = 48 * 1024 * 1024
+
+
+def _use_streaming(coeff_bytes: int) -> bool:
+    import os
+    mode = os.environ.get("TRACER_STREAM_COEFFS", "")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return coeff_bytes > _STREAM_BYTES
+
+
+def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
+                             phi_ref, coeffs_hbm, tmax_ref, bounds_ref,
+                             order_ref, count_ref,
+                             best_t_ref, best_i_ref):
+    """Streaming variant of _closest_kernel: lane-major coefficients in
+    HBM, chunks DMA'd through a double-buffered VMEM scratch along this
+    tile's schedule."""
+    phi = phi_ref[:]
+    phi_cat = _pack_phi(phi)
+    tmax = tmax_ref[:]
+    best_t_ref[:] = jnp.full((TILE_N,), jnp.inf, jnp.float32)
+    best_i_ref[:] = jnp.zeros((TILE_N,), jnp.int32)
+
+    ti = pl.program_id(0)
+    total = count_ref[ti] * g
+    rows = 4 * chunk_t
+
+    def chunk_id(rr):
+        ci = order_ref[ti, rr // g] * g + rr % g
+        return jnp.minimum(ci, n_chunks - 1), ci < n_chunks
+
+    def body(scratch, sems):
+        def dma(rr, slot):
+            ci, _ = chunk_id(rr)
+            return pltpu.make_async_copy(
+                coeffs_hbm.at[:, pl.ds(ci * rows, rows)],
+                scratch.at[slot], sems.at[slot])
+
+        def may(rr, upper):
+            ci, ok = chunk_id(rr)
+            return ok & jnp.any(_chunk_cull(phi, bounds_ref, ci, upper))
+
+        m0 = (total > 0) & may(0, tmax)
+
+        @pl.when(m0)
+        def _():
+            dma(0, 0).start()
+
+        def loop(rr, started):
+            upper = jnp.minimum(tmax, best_t_ref[:])
+            m_next = (rr + 1 < total) & may(rr + 1, upper)
+
+            @pl.when(m_next)
+            def _():
+                dma(rr + 1, (rr + 1) % 2).start()
+
+            @pl.when(started)
+            def _():
+                dma(rr, rr % 2).wait()
+                coeffs = scratch[rr % 2]
+                valid, t = _scores(coeffs, phi_cat, tmax, True)
+                ci, _ = chunk_id(rr)
+                loc_t = jnp.min(t, axis=0)
+                loc_i = (jnp.argmin(t, axis=0).astype(jnp.int32)
+                         + ci * chunk_t)
+                better = loc_t < best_t_ref[:]
+                best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
+                best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+
+            return m_next
+
+        jax.lax.fori_loop(0, total, loop, m0)
+
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((2, 48, rows), jnp.bfloat16),
+                  sems=pltpu.SemaphoreType.DMA((2,)))
+
+
+def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
+                         phi_ref, coeffs_hbm, tmax_ref, bounds_ref,
+                         order_ref, count_ref, hit_ref):
+    phi = phi_ref[:]
+    phi_cat = _pack_phi(phi)
+    tmax = tmax_ref[:]
+    hit_ref[:] = jnp.zeros((TILE_N,), jnp.bool_)
+
+    ti = pl.program_id(0)
+    total = count_ref[ti] * g
+    rows = 4 * chunk_t
+
+    def chunk_id(rr):
+        ci = order_ref[ti, rr // g] * g + rr % g
+        return jnp.minimum(ci, n_chunks - 1), ci < n_chunks
+
+    def body(scratch, sems):
+        def dma(rr, slot):
+            ci, _ = chunk_id(rr)
+            return pltpu.make_async_copy(
+                coeffs_hbm.at[:, pl.ds(ci * rows, rows)],
+                scratch.at[slot], sems.at[slot])
+
+        def may(rr):
+            ci, ok = chunk_id(rr)
+            return ok & jnp.any(_chunk_cull(phi, bounds_ref, ci, tmax)
+                                & ~hit_ref[:])
+
+        m0 = (total > 0) & may(0)
+
+        @pl.when(m0)
+        def _():
+            dma(0, 0).start()
+
+        def loop(rr, started):
+            m_next = (rr + 1 < total) & may(rr + 1)
+
+            @pl.when(m_next)
+            def _():
+                dma(rr + 1, (rr + 1) % 2).start()
+
+            @pl.when(started)
+            def _():
+                dma(rr, rr % 2).wait()
+                valid = _scores_any(scratch[rr % 2], phi_cat, tmax, True)
+                hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
+
+            return m_next
+
+        jax.lax.fori_loop(0, total, loop, m0)
+
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((2, 48, rows), jnp.bfloat16),
+                  sems=pltpu.SemaphoreType.DMA((2,)))
+
+
 def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool):
     """Pad rays to TILE_N multiple and the feature axis 10 -> 16
     (sublane alignment for the MXU operand), then pre-pack the triangle
@@ -390,7 +535,8 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     import functools
     n = phi_t.shape[1]
     n_chunks = chunk_bounds.shape[0]
-    lane_major = _use_lane_major(coeffs.shape[1])
+    streaming = _use_streaming(4 * coeffs.shape[1] * 48 * 2)
+    lane_major = streaming or _use_lane_major(coeffs.shape[1])
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
         coeffs, phi_t, tmax, n, n_chunks, lane_major)
     n_tiles = n_pad // TILE_N
@@ -398,14 +544,26 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
     order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles)
     grid = (n_tiles,)
+    if streaming:
+        kernel = functools.partial(
+            _closest_kernel_streamed, g, n_chunks, chunk_t)
+        coeff_spec = pl.BlockSpec(memory_space=pl.ANY)  # HBM-resident
+        # per-chunk bounds outgrow the 1MB SMEM at ~2000 chunks (SMEM
+        # pads each element heavily); VMEM holds them comfortably
+        bounds_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(
+            _closest_kernel, g, n_chunks, chunk_t, lane_major)
+        coeff_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     best_t, best_i = pl.pallas_call(
-        functools.partial(_closest_kernel, g, n_chunks, chunk_t, lane_major),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # all chunk coeffs
+            coeff_spec,                             # all chunk coeffs
             pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            bounds_spec,                            # per-chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
@@ -431,7 +589,8 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     import functools
     n = phi_t.shape[1]
     n_chunks = chunk_bounds.shape[0]
-    lane_major = _use_lane_major(coeffs.shape[1])
+    streaming = _use_streaming(4 * coeffs.shape[1] * 48 * 2)
+    lane_major = streaming or _use_lane_major(coeffs.shape[1])
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
         coeffs, phi_t, tmax, n, n_chunks, lane_major)
     n_tiles = n_pad // TILE_N
@@ -439,14 +598,24 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
     order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles)
     grid = (n_tiles,)
+    if streaming:
+        kernel = functools.partial(
+            _any_kernel_streamed, g, n_chunks, chunk_t)
+        coeff_spec = pl.BlockSpec(memory_space=pl.ANY)  # HBM-resident
+        bounds_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(
+            _any_kernel, g, n_chunks, chunk_t, lane_major)
+        coeff_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     hit = pl.pallas_call(
-        functools.partial(_any_kernel, g, n_chunks, chunk_t, lane_major),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # all chunk coeffs
+            coeff_spec,                             # all chunk coeffs
             pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            bounds_spec,                            # per-chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
