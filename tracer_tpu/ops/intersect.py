@@ -79,7 +79,11 @@ def build_dense(tris, pad_to: int | None = None) -> DenseTris:
     tris = jnp.asarray(tris, jnp.float32).reshape(-1, 3, 3)
     t = tris.shape[0]
     if pad_to is None:
-        pad_to = _PAD_LARGE if t > _PAD_LARGE_MIN_TRIS else _PAD
+        env = os.environ.get("TRACER_CHUNK_T")
+        if env:
+            pad_to = int(env)
+        else:
+            pad_to = _PAD_LARGE if t > _PAD_LARGE_MIN_TRIS else _PAD
     t_pad = max(pad_to, -(-max(t, 1) // pad_to) * pad_to)
 
     if t > 1:
