@@ -3,8 +3,17 @@ tracing with NEE (BASELINE.md config 2, target >50 Mrays/sec/chip).
 
 Counts actual trace queries (closest-hit + the two MIS shadow queries per
 live bounce, + primaries) as reported by the integrator, divided by
-steady-state wall time per frame on the device jax selects (the real TPU
-chip under the driver; CPU when forced).
+steady-state wall time on the device jax selects (the real TPU chip under
+the driver; CPU when forced).
+
+Timing discipline (docs/PERF.md "measurement pitfalls"): the axon relay
+caches executions with identical input buffers, and `block_until_ready`
+through the tunnel is not always a true barrier. So the K timed reps run
+INSIDE one jit (lax.scan) with per-rep nonce perturbation, the returned
+value is a scalar that depends on every rep's image, the base nonce is
+fresh per invocation (os.urandom), the timed region is closed by fetching
+that scalar to host, and the ~tunnel roundtrip is measured and subtracted.
+Values above a physical sanity ceiling are refused (exit 2), never printed.
 
 Prints exactly one JSON line:
   {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
@@ -13,12 +22,15 @@ Prints exactly one JSON line:
 
 import json
 import os
+import struct
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
+# One v5e chip cannot exceed ~5 Grays/s on this workload; anything above
+# is a caching/timing artifact and must not reach the driver.
+SANITY_CEILING_MRAYS = 5000.0
 
 
 def _enable_compile_cache():
@@ -50,6 +62,29 @@ def build_state(size):
                   cam_origin=(0.0, 0.8, 1.8))
 
 
+def _fresh_nonce():
+    """Base nonce from os.urandom so repeated bench invocations never
+    replay a relay-cached execution (identical inputs -> cached result)."""
+    return np.uint32(struct.unpack("<I", os.urandom(4))[0] | 1)
+
+
+def _roundtrip_seconds():
+    """Measured host<->device dispatch+fetch latency of a trivial op,
+    subtracted from the timed region (~30ms through the axon tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    np.asarray(tiny(x))  # compile + warm
+    best = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        np.asarray(tiny(jnp.float32(k + 1.0)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     _enable_compile_cache()
     import jax
@@ -59,32 +94,50 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "512"))
     spp = int(os.environ.get("BENCH_SPP", "256"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
     s = build_state(size)
     w, h = s.sub_dims
 
     @jax.jit
-    def chunk(seed, nonce, scene, cam, ambience):
-        out = integrator.render_pooled(
-            seed, nonce, scene, cam, ambience, w, h, s.transmitter_kind,
-            spp, s.render_mode)
-        return out["img"], out["rays_traced"]
+    def chunk(seed, nonce0, scene, cam, ambience):
+        """reps back-to-back renders inside ONE executable; returns
+        (total_rays, sink) where sink depends on every rep's image."""
+        def body(carry, k):
+            rays_acc, sink = carry
+            out = integrator.render_pooled(
+                seed, nonce0 + k * np.uint32(spp), scene, cam, ambience,
+                w, h, s.transmitter_kind, spp, s.render_mode)
+            rays_acc = rays_acc + out["rays_traced"].astype(jnp.float32)
+            sink = sink + jnp.sum(out["img"][0, 0])
+            return (rays_acc, sink), None
 
-    # compile + warmup
-    img, rays = chunk(s.seed, s.nonce, s.scene, s.cam, s.ambience)
-    jax.block_until_ready(img)
+        carry, _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            jnp.arange(reps, dtype=jnp.uint32))
+        return jnp.stack(carry)
 
-    outs = []
-    t0 = time.perf_counter()
-    for k in range(reps):
-        outs.append(chunk(s.seed, s.nonce + np.uint32(1 + k * spp),
-                          s.scene, s.cam, s.ambience))
-    jax.block_until_ready(outs[-1][0])
-    dt = time.perf_counter() - t0
-    # device fetches cost a ~30ms tunnel roundtrip each; keep them
-    # outside the timed region
-    total_rays = sum(int(rays) for _, rays in outs)
+    # compile + warmup (untimed)
+    np.asarray(chunk(s.seed, _fresh_nonce(), s.scene, s.cam, s.ambience))
+    roundtrip = _roundtrip_seconds()
 
-    mrays = total_rays / dt / 1e6
+    samples = []
+    for _ in range(passes):
+        nonce0 = _fresh_nonce()
+        t0 = time.perf_counter()
+        out = np.asarray(chunk(s.seed, nonce0, s.scene, s.cam, s.ambience))
+        dt = time.perf_counter() - t0
+        total_rays = float(out[0])
+        mrays = total_rays / max(dt - roundtrip, 1e-9) / 1e6
+        samples.append(mrays)
+
+    samples.sort()
+    mrays = samples[len(samples) // 2]  # median over passes
+    if not np.isfinite(mrays) or mrays <= 0 or mrays > SANITY_CEILING_MRAYS:
+        print(f"bench: implausible measurement {samples} Mrays/s "
+              f"(ceiling {SANITY_CEILING_MRAYS}); refusing to report",
+              file=sys.stderr)
+        sys.exit(2)
+
     print(json.dumps({
         "metric": "mrays_per_sec",
         "value": round(mrays, 2),
