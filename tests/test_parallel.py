@@ -67,6 +67,36 @@ def test_pooled_sharded_matches_single():
 
 
 @needs8
+def test_sharded_step_does_not_retrace():
+    """Repeated step_sharded / render_pooled_sharded calls must reuse one
+    cached jitted executable (VERDICT r1 weak #5). The jit cache is
+    allowed exactly one extra specialization — the first call takes
+    single-device-sharded init arrays and returns NamedSharding-committed
+    ones — but it must STOP growing from the second call on (no per-call
+    retrace)."""
+    s = cornell_state(32, 32).replace(mode=jnp.asarray(True))
+    mesh = par.make_mesh(8, 1)
+    run1 = par._step_exec(mesh, *s.sub_dims, s.transmitter_kind,
+                          s.render_mode)
+    s1 = par.step_sharded(s, mesh)
+    s2 = par.step_sharded(s1, mesh)
+    size2 = run1._cache_size()
+    s3 = par.step_sharded(s2, mesh)
+    run2 = par._step_exec(mesh, *s.sub_dims, s.transmitter_kind,
+                          s.render_mode)
+    assert run1 is run2
+    assert size2 <= 2
+    assert run1._cache_size() == size2  # stabilized: no per-call retrace
+    assert int(s3.n_frames) == 3
+
+    par.render_pooled_sharded(s, mesh, spp=2)
+    par.render_pooled_sharded(s, mesh, spp=2)
+    pe = par._pooled_exec(mesh, *s.sub_dims, s.sub_dims[1] // 8, 2,
+                          s.transmitter_kind, s.render_mode)
+    assert pe._cache_size() == 1
+
+
+@needs8
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

@@ -13,7 +13,7 @@ Scene, BVH and camera are replicated; the per-frame collective is one
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -71,25 +71,12 @@ def sharded_frame_fn(mesh: Mesh, w: int, h: int, transmitter_kind: str,
         check_vma=False)
 
 
-def render_pooled_sharded(s: EngineState, mesh: Mesh, spp: int):
-    """Multi-chip pooled render: the occupancy-optimal wavefront
-    (integrator.render_pooled) sharded over the mesh.
-
-    The spp budget splits across the sample axis (spp must be divisible
-    by it); image rows shard over the tile axis. One pmean over ICI
-    merges the replica means. Returns the (h, w, 3) image.
-    """
-    w, h = s.sub_dims
-    n_tile = mesh.shape[TILE_AXIS]
-    n_sample = mesh.shape[SAMPLE_AXIS]
-    if h % n_tile != 0:
-        raise ValueError(f"height {h} not divisible by tile axis {n_tile}")
-    if spp % n_sample != 0:
-        raise ValueError(f"spp {spp} not divisible by sample axis {n_sample}")
-    rows = h // n_tile
-    spp_local = spp // n_sample
-    transmitter_kind = s.transmitter_kind
-    render_mode = s.render_mode
+@lru_cache(maxsize=64)
+def _pooled_exec(mesh: Mesh, w: int, h: int, rows: int, spp_local: int,
+                 transmitter_kind: str, render_mode: str):
+    """Cached jitted executable for render_pooled_sharded: keyed on the
+    mesh + static shape/config so repeated multi-chip renders reuse one
+    traced/compiled program instead of retracing per call."""
 
     def body(seed, nonce, scene, cam, ambience):
         ti = jax.lax.axis_index(TILE_AXIS)
@@ -107,7 +94,27 @@ def render_pooled_sharded(s: EngineState, mesh: Mesh, spp: int):
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(), P(), P(), P(), P()),
                    out_specs=P(TILE_AXIS), check_vma=False)
-    return jax.jit(fn)(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+    return jax.jit(fn)
+
+
+def render_pooled_sharded(s: EngineState, mesh: Mesh, spp: int):
+    """Multi-chip pooled render: the occupancy-optimal wavefront
+    (integrator.render_pooled) sharded over the mesh.
+
+    The spp budget splits across the sample axis (spp must be divisible
+    by it); image rows shard over the tile axis. One pmean over ICI
+    merges the replica means. Returns the (h, w, 3) image.
+    """
+    w, h = s.sub_dims
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if h % n_tile != 0:
+        raise ValueError(f"height {h} not divisible by tile axis {n_tile}")
+    if spp % n_sample != 0:
+        raise ValueError(f"spp {spp} not divisible by sample axis {n_sample}")
+    run = _pooled_exec(mesh, w, h, h // n_tile, spp // n_sample,
+                       s.transmitter_kind, s.render_mode)
+    return run(s.seed, s.nonce, s.scene, s.cam, s.ambience)
 
 
 def sample_points_sharded(s: EngineState, mesh: Mesh, spp: int):
@@ -115,17 +122,21 @@ def sample_points_sharded(s: EngineState, mesh: Mesh, spp: int):
     closest-return merge. Rows shard over the tile axis; the spp budget
     splits over the sample axis and replicas merge with a distance
     argmin (pmin over ICI). Returns (h, w, 4) [x, y, z, intensity]."""
-    from tracer_tpu.ops import linalg as la
-
     w, h = s.sub_dims
     n_tile = mesh.shape[TILE_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
     if h % n_tile != 0 or spp % n_sample != 0:
         raise ValueError("h/spp not divisible by mesh axes")
-    rows = h // n_tile
-    spp_local = spp // n_sample
-    transmitter_kind = s.transmitter_kind
-    render_mode = s.render_mode
+    run = _points_exec(mesh, w, h, h // n_tile, spp // n_sample, spp,
+                       s.transmitter_kind, s.render_mode)
+    return run(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+
+
+@lru_cache(maxsize=64)
+def _points_exec(mesh: Mesh, w: int, h: int, rows: int, spp_local: int,
+                 spp: int, transmitter_kind: str, render_mode: str):
+    """Cached jitted executable for sample_points_sharded."""
+    from tracer_tpu.ops import linalg as la
 
     def body(seed, nonce, scene, cam, ambience):
         ti = jax.lax.axis_index(TILE_AXIS)
@@ -154,21 +165,21 @@ def sample_points_sharded(s: EngineState, mesh: Mesh, spp: int):
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(), P(), P(), P(), P()),
                    out_specs=P(TILE_AXIS), check_vma=False)
-    return jax.jit(fn)(s.seed, s.nonce, s.scene, s.cam, s.ambience)
+    return jax.jit(fn)
 
 
-def step_sharded(s: EngineState, mesh: Mesh) -> EngineState:
-    """Full progressive step over the mesh — the multi-chip equivalent of
-    api.step: one sharded 1-spp frame (x sample-axis replicas), then the
-    same accumulation rule as the single-chip path."""
-    w, h = s.sub_dims
-    frame = sharded_frame_fn(mesh, w, h, s.transmitter_kind, s.render_mode)
+@lru_cache(maxsize=64)
+def _step_exec(mesh: Mesh, w: int, h: int, transmitter_kind: str,
+               render_mode: str):
+    """Cached jitted executable for step_sharded: repeated interactive
+    multi-chip steps reuse one compiled program (no per-call retrace)."""
+    frame = sharded_frame_fn(mesh, w, h, transmitter_kind, render_mode)
 
     @jax.jit
     def run(s: EngineState) -> EngineState:
         img_new = frame(s.seed, s.nonce, s.scene, s.cam, s.ambience)
         accum = s.mode & (s.n_frames > 0)
-        if s.render_mode == "distance":
+        if render_mode == "distance":
             merged = integrator.accumulate_distance(s.img, img_new)
         else:
             merged = integrator.accumulate_color(s.img, img_new, s.n_frames)
@@ -176,4 +187,13 @@ def step_sharded(s: EngineState, mesh: Mesh) -> EngineState:
         n_frames = jnp.where(accum, s.n_frames + 1, jnp.uint32(1))
         return s.replace(img=img, n_frames=n_frames, nonce=s.nonce + 1)
 
+    return run
+
+
+def step_sharded(s: EngineState, mesh: Mesh) -> EngineState:
+    """Full progressive step over the mesh — the multi-chip equivalent of
+    api.step: one sharded 1-spp frame (x sample-axis replicas), then the
+    same accumulation rule as the single-chip path."""
+    w, h = s.sub_dims
+    run = _step_exec(mesh, w, h, s.transmitter_kind, s.render_mode)
     return run(s)
