@@ -233,7 +233,14 @@ def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 # P-cycling needs the full item machinery anyway).
 # Measured on cornell-256spp: Q=4: 236, Q=8: 245, Q=16: 252, Q=32: 236
 # Mrays/s (load-averaging saturates, then store adds dominate).
-ROT_Q = int(os.environ.get("TRACER_ROT_Q", "16"))
+ROT_Q_DEFAULT = 16
+
+
+def _rot_q() -> int:
+    """TRACER_ROT_Q, read per call like the other knobs (POOL_TARGET,
+    COEFF_LAYOUT, STREAM_COEFFS) so tests/monkeypatch can set it after
+    import."""
+    return int(os.environ.get("TRACER_ROT_Q", str(ROT_Q_DEFAULT)))
 
 
 def _rotation_stride(n: int) -> int:
@@ -320,7 +327,7 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     qrot = pool == n                   # Q-PERIODIC ROTATION note above
     stride = _rotation_stride(n)
     m_items = (n * spp) // pool        # work items per lane
-    n_q = max(1, min(ROT_Q, m_items)) if qrot else 0  # rotation period
+    n_q = max(1, min(_rot_q(), m_items)) if qrot else 0  # rotation period
     lane = jnp.arange(pool, dtype=jnp.int32)
     srow = (jnp.arange(n_q, dtype=jnp.int32)[:, None] if qrot
             else jnp.arange(m_items, dtype=jnp.int32)[:, None])
@@ -396,10 +403,14 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         init["sample_pos"] = jnp.zeros((3, pool), jnp.float32)
         init["sample_int"] = zero_n
         if qrot:
-            # closest return per pixel: strict min across samples
+            # closest return per pixel: strict min across samples;
+            # acc_ps carries the winning sample index so exact-distance
+            # ties across phases resolve in sample order (lib.fut:40-47
+            # strict-min-in-sample-order), not phase order
             init["acc_pd"] = jnp.full((n_q, pool), jnp.inf, jnp.float32)
             init["acc_pos"] = jnp.zeros((3, n_q, pool), jnp.float32)
             init["acc_int"] = jnp.zeros((n_q, pool), jnp.float32)
+            init["acc_ps"] = jnp.full((n_q, pool), m_items, jnp.int32)
         else:
             init["pos_st"] = jnp.zeros((3, m_items, pool), jnp.float32)
             init["int_st"] = jnp.zeros((m_items, pool), jnp.float32)
@@ -498,6 +509,8 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                                            c["acc_pos"])
                 out["acc_int"] = jnp.where(better, c["sample_int"][None],
                                            c["acc_int"])
+                out["acc_ps"] = jnp.where(better, c["done"][None],
+                                          c["acc_ps"])
             return out
         sel = (srow == c["done"][None, :]) & ended[None, :]  # (m_items, P)
         if color_mode:
@@ -626,14 +639,19 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
             best_d = jnp.full((n,), jnp.inf, jnp.float32)
             best_pos = jnp.full((3, n), -1.0, jnp.float32)
             best_int = jnp.zeros((n,), jnp.float32)
+            best_ps = jnp.full((n,), m_items, jnp.int32)
             for q in range(n_q):
                 d_r = jnp.roll(out["acc_pd"][q], bin_shifts[q])
                 p_r = jnp.roll(out["acc_pos"][:, q], bin_shifts[q], axis=1)
                 i_r = jnp.roll(out["acc_int"][q], bin_shifts[q])
-                better = d_r < best_d
+                s_r = jnp.roll(out["acc_ps"][q], bin_shifts[q])
+                # exact-distance ties resolve on the smaller sample index
+                # (strict min in sample order, lib.fut:40-47)
+                better = (d_r < best_d) | ((d_r == best_d) & (s_r < best_ps))
                 best_d = jnp.where(better, d_r, best_d)
                 best_pos = jnp.where(better, p_r, best_pos)
                 best_int = jnp.where(better, i_r, best_int)
+                best_ps = jnp.where(better, s_r, best_ps)
             has_p = jnp.isfinite(best_d)
             result["points"] = (
                 jnp.where(has_p, best_pos, -1.0),

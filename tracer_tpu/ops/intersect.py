@@ -289,8 +289,11 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
 
     ok = jnp.isfinite(best_t)
     best_i = jnp.where(ok, best_i, 0)
+    # slack covers the bf16x3 t error (~2^-15) when the score matmul is
+    # packed; the exact HIGHEST formulation only needs rounding headroom
+    slack = 1e-4 if _use_packed_bf16() else 1e-6
     ok2, t, pos, normal = _reintersect(dense, best_i, origin, d,
-                                       tmax * (1.0 + 1e-4))
+                                       tmax * (1.0 + slack))
     ok = ok & ok2
     return (ok, jnp.where(ok, t, jnp.inf),
             jnp.where(ok, best_i, -1), pos, normal)

@@ -254,11 +254,17 @@ def _chunk_cull(phi, bounds_ref, ci, upper):
     for k in range(3):
         dk = phi[k]
         ok_ = phi[3 + k]
-        inv = 1.0 / dk
+        # d[k] == 0 with origin exactly on a bound plane gives 0*inf=NaN,
+        # which would cull a chunk the XLA oracle (no AABB cull) hits —
+        # same always-pass handling as _tile_chunk_order so the cull
+        # stays a strict superset of the exact test.
+        par = dk == 0.0
+        inv = 1.0 / jnp.where(par, 1.0, dk)
         t0 = (bounds_ref[ci, k] - ok_) * inv
         t1 = (bounds_ref[ci, 3 + k] - ok_) * inv
-        lo = jnp.minimum(t0, t1)
-        hi = jnp.maximum(t0, t1) * (1.0 + shapes.AABB_EPS)
+        lo = jnp.where(par, 0.0, jnp.minimum(t0, t1))
+        hi = jnp.where(par, upper,
+                       jnp.maximum(t0, t1) * (1.0 + shapes.AABB_EPS))
         tmin = jnp.maximum(tmin, lo)
         tmax_ = jnp.minimum(tmax_, hi)
     return tmax_ > tmin
