@@ -369,3 +369,71 @@ def test_pool_size_invariance(monkeypatch):
     np.testing.assert_array_equal(np.asarray(a["img"]), np.asarray(b["img"]))
     for pa, pb in zip(a["points"], b["points"]):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_thin_lens_focal_plane_convergence():
+    """Aperture > 0 thin-lens geometry (camera.fut:81-110): all rays for
+    one pixel, wherever they leave the lens disk, must converge on the
+    focal plane — the spread of focal-plane hit points at aperture 0.5
+    equals the pixel-jitter footprint at aperture 0, while the ray
+    origins spread across the lens. Pins the defocus estimator around
+    the documented deviation (independent pixel/lens uniforms vs the
+    reference's rng reuse, camera.fut:86-102): the marginal per-ray
+    distribution the estimator integrates is unchanged."""
+    from tracer_tpu.models import camera as cam_mod
+    from tracer_tpu.ops import linalg as la
+    from tracer_tpu.ops import rng as prng
+
+    s = cornell_state(16, 16)
+
+    def shoot(aperture, n=512):
+        conf = s.cam.conf._replace(aperture=jnp.float32(aperture))
+        cam = s.cam._replace(conf=conf)
+        states = prng.make_streams(7, 3, jnp.arange(n, dtype=jnp.uint32))
+        jx = jnp.full((n,), 5.0, jnp.float32)
+        iy = jnp.full((n,), 9.0, jnp.float32)
+        _, o, d = cam_mod.sample_ray(states, cam, (16.0, 16.0), jx, iy)
+        cd = la.v3_from_array(cam_mod.cam_dir(cam))[:, None]   # (3,1)
+        o0 = cam.origin[:, None]
+        fd = conf.focal_dist
+        # ray/focal-plane intersection: plane through o0 + fd*cd, normal cd
+        t = (jnp.sum((o0 + fd * cd - o) * cd, 0)
+             / jnp.sum(d * cd, 0))
+        p = o + t * d                                          # (3,N)
+        spread = float(jnp.max(jnp.std(p, axis=1)))
+        o_spread = float(jnp.max(jnp.std(o, axis=1)))
+        return spread, o_spread
+
+    pin_spread, pin_o = shoot(0.0)
+    blur_spread, blur_o = shoot(0.5)
+    assert pin_o < 1e-6                       # pinhole: single origin
+    assert blur_o > 0.05                      # lens disk really sampled
+    # focal-plane footprint identical: lens offset contributes nothing
+    np.testing.assert_allclose(blur_spread, pin_spread, rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_aperture_defocus_render():
+    """Rendering with aperture 0.5 (the 'i' key path, lib.fut:156-160)
+    conserves energy while blurring structure: the defocused image's
+    mean stays near the pinhole render's, its high-frequency content
+    drops. Covers the only runtime path where our estimator deviates
+    from the reference's rng-reuse quirk (see PARITY.md)."""
+    s = cornell_state(32, 32)
+    sharp = np.asarray(T.sample_n_frames(s, 48))
+    conf = s.cam.conf._replace(aperture=jnp.float32(0.5))
+    s_blur = s.replace(cam=s.cam._replace(conf=conf))
+    blur = np.asarray(T.sample_n_frames(s_blur, 48))
+    assert np.isfinite(blur).all()
+    # defocus redistributes energy, it does not create or destroy it
+    # (tolerance: lens-edge rays can exit the open box face)
+    np.testing.assert_allclose(blur.mean(), sharp.mean(), rtol=0.12)
+
+    def tv(img):
+        # total variation of the 2x2-box-downsampled image: keeps edges,
+        # suppresses per-pixel MC noise
+        d = img.reshape(16, 2, 16, 2, 3).mean(axis=(1, 3))
+        return (np.abs(np.diff(d, axis=0)).mean()
+                + np.abs(np.diff(d, axis=1)).mean())
+
+    assert tv(blur) < 0.9 * tv(sharp), (tv(blur), tv(sharp))

@@ -73,3 +73,64 @@ def test_all_sensor_configs_render(conf):
     img = np.asarray(T.sample_n_frames(s, 6))
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Committed-golden RMSE harness (BASELINE.md configs 1-4, reduced size).
+# Goldens are fixed-seed CPU renders committed by benchmarks/make_goldens.py;
+# the bound is far below any estimator regression (a wrong MIS weight or a
+# lost emission term shifts rel-RMSE by >0.1) but above float16 storage +
+# fp-reassociation noise. The reference's analogue is its single committed
+# golden image (README.org:8) plus the oracle swap (bvh.fut:25-43).
+
+import os
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+ASSETS = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
+
+
+_RENDER_CACHE = {}
+
+
+def _golden_case(name):
+    from benchmarks.make_goldens import GOLDENS, render
+    path = os.path.join(GOLDEN_DIR, name + ".npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated")
+    scene = GOLDENS[name][0]
+    if (not scene.startswith("proc:")
+            and not os.path.exists(os.path.join(ASSETS, scene + ".obj"))):
+        pytest.skip("reference assets not present")
+    want = np.load(path)["img"].astype(np.float32)
+    if name not in _RENDER_CACHE:
+        _RENDER_CACHE[name] = render(name)
+    return _RENDER_CACHE[name], want
+
+
+@pytest.mark.parametrize("name", ["cornell", "cornell-lidar", "mirrorbox",
+                                  "spectrum", "prism"])
+def test_golden_rmse(name):
+    got, want = _golden_case(name)
+    assert got.shape == want.shape
+    scale = np.abs(want).mean() + 1e-6
+    rel_rmse = float(np.sqrt(np.mean((got - want) ** 2))) / scale
+    assert rel_rmse < 0.02, (name, rel_rmse)
+    # per-channel energy pinned to 1%
+    got_m = got.reshape(-1, got.shape[-1]).mean(axis=0)
+    want_m = want.reshape(-1, want.shape[-1]).mean(axis=0)
+    np.testing.assert_allclose(got_m, want_m, rtol=0.01, atol=1e-4)
+
+
+def test_prism_dispersion_structure():
+    """The physical signature shared with the reference's committed
+    golden (README.org:8, prism-dispersion.png): in the caustic band the
+    per-channel centroids order R -> G -> B along one dispersion axis.
+    The reference image measures |R->B| = 0.046 of width, t_G = 0.41
+    (benchmarks/prism_compare.py); the scene behind it was never
+    committed, so the comparison is structural, not pixelwise."""
+    from benchmarks.prism_compare import band_stats
+    got, _ = _golden_case("prism")
+    st = band_stats(got)
+    assert st is not None, "no caustic band found in prism render"
+    assert st["ordered"], st
+    assert st["rb_frac"] > 0.01, st
