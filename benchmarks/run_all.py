@@ -71,7 +71,10 @@ if cfg.get("orbit"):
     # reference's per-frame-LBVH-rebuild scenario.
     @jax.jit
     def orbit_frame(st):
-        accel = intersect.build_dense(st.scene.tris)
+        # rebuild keeps the material-id aux column (input triangle order
+        # is unchanged; build_dense re-sorts and re-permutes aux itself)
+        accel = intersect.build_dense(
+            st.scene.tris, aux=st.scene.mat_ix.astype(jnp.float32))
         st = st.replace(scene=st.scene._replace(accel=accel),
                         cam=cam_mod.turn_camera(st.cam, 0.0, 0.05))
         from tracer_tpu.engine.api import _step_core

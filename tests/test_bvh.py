@@ -92,7 +92,7 @@ def test_lbvh_matches_dense_oracle(rng_np):
         dense = intersect.build_dense(tris)
         o, d = random_rays(rng_np, 257)
         ok_b, t_b, i_b, _, _ = bvh.closest_hit(b, 1e30, o, d)
-        ok_d, t_d, i_d, _, _ = intersect.closest_hit(
+        ok_d, t_d, i_d, _, _, _ = intersect.closest_hit(
             dense, 1e30, la.v3_from_array(o), la.v3_from_array(d))
         np.testing.assert_array_equal(np.asarray(ok_b), np.asarray(ok_d))
         hit = np.asarray(ok_b)

@@ -18,7 +18,7 @@ def test_pallas_matches_xla(rng_np):
     phi = intersect.ray_features_t(ov, dv)
 
     bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30, dense.chunk_bounds, interpret=True)
-    ok_x, t_x, i_x, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    ok_x, t_x, i_x, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
     okp = np.isfinite(np.asarray(bt))
     np.testing.assert_array_equal(okp, np.asarray(ok_x))
     hit = okp

@@ -54,7 +54,7 @@ def test_dense_matches_bruteforce(rng_np):
     tris = random_scene(rng_np, t=37)
     o, d = random_rays(rng_np, n=65)
     dense = intersect.build_dense(tris)
-    ok, t, idx, pos, normal = intersect.closest_hit(
+    ok, t, idx, pos, normal, _aux = intersect.closest_hit(
         dense, 1e30, la.v3_from_array(o), la.v3_from_array(d))
     ok_b, t_b, idx_b = intersect.closest_hit_bruteforce(tris, 1e30, o, d)
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_b))
@@ -73,8 +73,8 @@ def test_dense_chunked_matches_unchunked(rng_np):
     o, d = random_rays(rng_np, n=33)
     dense = intersect.build_dense(tris)
     ov, dv = la.v3_from_array(o), la.v3_from_array(d)
-    ok1, t1, i1, _, _ = intersect.closest_hit(dense, 1e30, ov, dv, chunk=128)
-    ok2, t2, i2, _, _ = intersect.closest_hit(dense, 1e30, ov, dv, chunk=4096)
+    ok1, t1, i1, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv, chunk=128)
+    ok2, t2, i2, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv, chunk=4096)
     np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
     np.testing.assert_allclose(np.asarray(t1)[np.asarray(ok1)],
                                np.asarray(t2)[np.asarray(ok2)], rtol=1e-5)
@@ -86,7 +86,7 @@ def test_any_hit_matches_closest(rng_np):
     dense = intersect.build_dense(tris)
     ov, dv = la.v3_from_array(o), la.v3_from_array(d)
     for tmax in [1e30, 2.5, 0.5]:
-        ok, t, _, _, _ = intersect.closest_hit(dense, tmax, ov, dv)
+        ok, t, _, _, _, _ = intersect.closest_hit(dense, tmax, ov, dv)
         anyh = intersect.any_hit(dense, tmax, ov, dv)
         # any_hit true iff closest hit exists (matmul t vs elementwise t can
         # flicker at the exact tmax boundary; tolerate none here)
@@ -98,7 +98,7 @@ def test_per_ray_tmax(rng_np):
     o, d = random_rays(rng_np, n=8)
     dense = intersect.build_dense(tris)
     ov, dv = la.v3_from_array(o), la.v3_from_array(d)
-    ok_far, t_far, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    ok_far, t_far, _, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
     tmaxes = jnp.where(jnp.isfinite(t_far), t_far * 0.5, 1.0)
     anyh = intersect.any_hit(dense, tmaxes, ov, dv)
     # with tmax below the closest hit, any_hit can still be true only if
@@ -110,7 +110,7 @@ def test_degenerate_triangles_never_hit(rng_np):
     tris = np.zeros((5, 3, 3), np.float32)  # all degenerate
     o, d = random_rays(rng_np, n=16)
     dense = intersect.build_dense(jnp.asarray(tris))
-    ok, _, _, _, _ = intersect.closest_hit(
+    ok, _, _, _, _, _ = intersect.closest_hit(
         dense, 1e30, la.v3_from_array(o), la.v3_from_array(d))
     assert not np.any(np.asarray(ok))
 
@@ -126,10 +126,10 @@ def test_packed_bf16_matches_highest(rng_np, monkeypatch):
     dense = intersect.build_dense(tris)
 
     monkeypatch.setenv("TRACER_MXU_PRECISION", "highest")
-    ok_h, t_h, i_h, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    ok_h, t_h, i_h, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
     any_h = intersect.any_hit(dense, 4.0, ov, dv)
     monkeypatch.setenv("TRACER_MXU_PRECISION", "packed")
-    ok_p, t_p, i_p, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    ok_p, t_p, i_p, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
     any_p = intersect.any_hit(dense, 4.0, ov, dv)
 
     # The packed path carries ~2^-15 relative error, so a ray whose

@@ -142,9 +142,19 @@ def incident_radiance(light: LaneLights, hitp, lightp):
 
 
 def estimate_direct(state, scene: scene_mod.Scene, wo,
-                    inter: scene_mod.Interaction, light: LaneLights):
+                    inter: scene_mod.Interaction, light: LaneLights,
+                    mask=None):
     """MIS light-sample + BSDF-sample estimate toward each lane's light
-    (estimate_direct, direct.fut:63-103). Returns (state, radiance (N,))."""
+    (estimate_direct, direct.fut:63-103). Returns (state, radiance (N,)).
+
+    mask (N,) bool, optional: lanes whose result the caller will discard
+    (dead/miss lanes in the pooled integrator). Their shadow rays — and
+    any half whose contribution is provably zero before the occlusion
+    test (backface, zero BSDF toward the light, BSDF sample that misses
+    the light) — are traced with tmax 0, so the intersector's schedule
+    and slab cull skip them. The estimator is unchanged: only queries
+    whose results are multiplied by zero are suppressed; RNG stream
+    order is untouched (occlusion consumes no RNG)."""
     is_point = light.kind == lights_mod.KIND_POINT
     e1 = light.b - light.a
     e2 = light.c - light.a
@@ -177,9 +187,23 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     # rays — occlusion consumes no RNG, so stream order is unchanged.
     bf_l, so_l, sd_l, st_l = _shadow_ray(inter.pos, inter.normal, lightp)
     bf_b, so_b, sd_b, st_b = _shadow_ray(inter.pos, inter.normal, lh_pos)
+    in_rad_b = incident_radiance(light, inter.pos, lh_pos)
+
+    # Zero-contribution suppression: every factor below also gates the
+    # corresponding *_part expression, so a suppressed query's (garbage)
+    # occlusion bit never reaches the estimate.
+    live_l = (~bf_l & (light_pdf != 0) & (in_radiance != 0) & (f_l != 0)
+              & (weight_l != 0))
+    live_b = (~is_point & hit_ok & ~bf_b & (in_rad_b != 0)
+              & (((kind_b == materials.PDF_DELTA)
+                  | (kind_b == materials.PDF_NONZERO)) & (bsdf_b != 0)))
+    if mask is not None:
+        live_l &= mask
+        live_b &= mask
     n = wi_l.shape[-1]
     blocked = scene_mod.any_hit(
-        scene, jnp.concatenate([st_l, st_b]),
+        scene, jnp.concatenate([jnp.where(live_l, st_l, 0.0),
+                                jnp.where(live_b, st_b, 0.0)]),
         jnp.concatenate([so_l, so_b], axis=1),
         jnp.concatenate([sd_l, sd_b], axis=1))
     occ = bf_l | blocked[:n]
@@ -190,7 +214,6 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
         (light_pdf == 0) | (in_radiance == 0), 0.0,
         f_l * weight_l * in_radiance / light_pdf)
 
-    in_rad_b = incident_radiance(light, inter.pos, lh_pos)
     f_b = bsdf_b * jnp.abs(la.v3_dot(wi_b, inter.normal))
     weight_b = balance(pdf_b, inv_area)
     contrib = jnp.where(
@@ -206,14 +229,16 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
 def direct_radiance(state, scene: scene_mod.Scene, wo,
                     inter: scene_mod.Interaction, wavelen,
                     trans_sectors, transmitter_kind: str,
-                    trans_theta, trans_emission):
+                    trans_theta, trans_emission, mask=None):
     """One-light estimate scaled by light count (direct_radiance,
-    direct.fut:111-122). Returns (state, radiance (N,))."""
+    direct.fut:111-122). Returns (state, radiance (N,)). mask: see
+    estimate_direct — lanes whose result the caller discards."""
     n_rays = wo.shape[-1]
     state, light, n_lights = select_lane_light(
         state, scene, trans_sectors, transmitter_kind, trans_theta,
         trans_emission, wavelen, n_rays)
     if light is None:
         return state, jnp.zeros((n_rays,), jnp.float32)
-    state, radiance = estimate_direct(state, scene, wo, inter, light)
+    state, radiance = estimate_direct(state, scene, wo, inter, light,
+                                      mask=mask)
     return state, radiance * jnp.float32(n_lights)

@@ -99,7 +99,7 @@ def path_trace(state, scene: scene_mod.Scene, origin, d, wavelen,
         wo = -c["d"]
         rng, direct = direct_mod.direct_radiance(
             c["rng"], scene, wo, inter, wavelen, trans_sectors,
-            transmitter_kind, trans_theta, trans_emission)
+            transmitter_kind, trans_theta, trans_emission, mask=hit)
         emitted = jnp.where(c["i"] == 0, inter.emission_at_wl, 0.0)
         radiance = direct + emitted
         cum_dist = jnp.where(hit, c["cum_dist"] + inter.t, c["cum_dist"])
@@ -543,7 +543,8 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         wo = -c["d"]
         rng, direct = direct_mod.direct_radiance(
             c["rng"], scene, wo, inter, c["wavelen"], trans_sectors,
-            transmitter_kind, conf.trans_theta, conf.trans_emission)
+            transmitter_kind, conf.trans_theta, conf.trans_emission,
+            mask=hit)
         ambient = spec.lookup_pairs(
             c["wavelen"], [(ambience[k, 0], ambience[k, 1]) for k in range(6)])
         emitted = jnp.where(c["bounce"] == 0, inter.emission_at_wl, 0.0)

@@ -43,9 +43,11 @@ DENSE_THRESHOLD = 1048576
 
 class Scene(NamedTuple):
     tris: jax.Array              # (T, 3, 3)
-    mat_ix: jax.Array            # (max(T,1),) int32
+    mat_ix: jax.Array            # (max(T,1),) int32, input triangle order
     materials: materials.MaterialTable
-    tri_mat_rows: jax.Array      # (max(T,1), 28) material row per triangle
+    mat_rows: jax.Array          # (max(M,1), 28) raw material rows
+    tri_mat: jax.Array           # (max(T,1),) int32 material id per triangle
+                                 # in ACCEL STORAGE order (hit indices)
     lights: lights_mod.Lights    # emissive triangles (scene.fut:58-66)
     light_table: jax.Array       # (L, 23) packed [tri 9 | emission 12 | theta | kind]
     accel: Accel
@@ -90,12 +92,13 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
     if accel == "auto":
         accel = "dense" if t <= DENSE_THRESHOLD else "lbvh"
     tris = jnp.asarray(tris_np)
-    # tri_mat_rows is indexed by the accel's returned triangle index, so
-    # it must follow the accel's storage order: the dense intersector
+    # tri_mat is indexed by the accel's returned triangle index, so it
+    # must follow the accel's storage order: the dense intersector
     # morton-sorts its triangles (intersect.build_dense), the LBVH maps
     # hits back to input order itself (bvh.closest_hit perm).
     if accel == "dense":
-        acc: Accel = intersect.build_dense(tris)
+        acc: Accel = intersect.build_dense(
+            tris, aux=mat_ix_padded[:t].astype(np.float32))
         order = np.asarray(acc.perm)[:max(t, 1)]
         order = np.where(order < max(t, 1), order, 0)
         row_ix = mat_ix_padded[order] if t > 0 else mat_ix_padded
@@ -109,7 +112,8 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
         tris=tris,
         mat_ix=jnp.asarray(mat_ix_padded, jnp.int32),
         materials=materials.parse_mats(mat_rows_np),
-        tri_mat_rows=jnp.asarray(mat_rows_np[row_ix]),
+        mat_rows=jnp.asarray(mat_rows_np),
+        tri_mat=jnp.asarray(row_ix, jnp.int32),
         lights=lights,
         light_table=pack_light_table(lights),
         accel=acc)
@@ -156,7 +160,7 @@ def closest_hit(scene: Scene, tmax, origin, d):
     returns (ok, t, tri_idx, pos (3,N), normal (3,N)) with tri_idx in
     input triangle order."""
     if isinstance(scene.accel, intersect.DenseTris):
-        return intersect.closest_hit(scene.accel, tmax, origin, d)
+        return intersect.closest_hit(scene.accel, tmax, origin, d)[:5]
     n = jnp.broadcast_shapes(origin.shape, d.shape)[1]
     o_a = la.v3_to_array(jnp.broadcast_to(origin, (3, n)))
     d_a = la.v3_to_array(jnp.broadcast_to(d, (3, n)))
@@ -185,13 +189,26 @@ class Interaction(NamedTuple):
 
 
 def closest_interaction(scene: Scene, tmax, origin, d, wavelen) -> Interaction:
-    """closest_hit + per-triangle material row fetch evaluated at the hero
-    wavelength (closest_interaction, scene.fut:68-73). The row fetch is a
-    one-hot matmul over the precomputed per-triangle 28-float rows
-    (ops/tables.py) — no device gather on the hot path."""
-    ok, t, tri_idx, pos, normal = closest_hit(scene, tmax, origin, d)
-    safe_idx = jnp.where(ok, jnp.maximum(tri_idx, 0), 0)
-    rows_t = tables.take_rows_t(scene.tri_mat_rows, safe_idx)  # (28, N)
+    """closest_hit + material row fetch evaluated at the hero wavelength
+    (closest_interaction, scene.fut:68-73). The fetch is two-level: a
+    1-int-per-lane triangle->material-id lookup, then a one-hot matmul
+    over the SMALL (M, 28) material table (ops/tables.py). The old
+    single-level fetch from a per-triangle (T, 28) row table turned into
+    an XLA device gather past 512 triangles whose (N, 28) result needed
+    a layout copy + strided slices — ~1.1 ms/iter at 65k lanes on
+    SpectrumSphere; the id indirection keeps the wide fetch on the MXU
+    at any triangle count."""
+    if isinstance(scene.accel, intersect.DenseTris):
+        # material id rides the dense intersector's aux column — no
+        # extra per-lane fetch
+        ok, t, tri_idx, pos, normal, aux = intersect.closest_hit(
+            scene.accel, tmax, origin, d)
+        lane_mat = aux.astype(jnp.int32)
+    else:
+        ok, t, tri_idx, pos, normal = closest_hit(scene, tmax, origin, d)
+        safe_idx = jnp.where(ok, jnp.maximum(tri_idx, 0), 0)
+        lane_mat = tables.take_scalar(scene.tri_mat, safe_idx)
+    rows_t = tables.take_rows_t(scene.mat_rows, lane_mat)   # (28, N)
     mat, emission = materials.at_wavelength_rows(rows_t, wavelen)
     return Interaction(ok=ok, t=t, pos=pos, normal=normal, mat=mat,
                        emission_at_wl=emission)

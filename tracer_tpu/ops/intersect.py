@@ -52,8 +52,14 @@ class DenseTris(NamedTuple):
 
     coeffs: (4, T_pad, 10) f32 — blocks (a, n.s, m.e2, m.e1); column
             order matches phi = [d, o, o x d, 1]
-    tris:   (T_pad, 9) f32 flattened vertices (zeros => degenerate,
-            always rejected by the |a| >= eps test)
+    tris:   (T_pad, 10) f32 — flattened vertices (9) + a per-triangle
+            aux scalar (column 9, e.g. the material id; 0 when unused).
+            Zero vertices => degenerate, always rejected by the
+            |a| >= eps test. The aux column rides the one wide row
+            fetch _reintersect already does: a separate 1-int-per-lane
+            aux gather measured 0.47 ms/iter at 65k lanes (TPU scalar
+            gathers run ~0.5 GB/s) while widening this fetch 9 -> 10
+            columns is free.
     perm:   (T_pad,) int32 — triangles are stored in morton order so
             consecutive CHUNK-sized groups are spatially tight; perm[i]
             is the input index of stored triangle i (identity beyond T)
@@ -67,17 +73,23 @@ class DenseTris(NamedTuple):
     chunk_bounds: jax.Array
 
 
-def build_dense(tris, pad_to: int | None = None) -> DenseTris:
+def build_dense(tris, pad_to: int | None = None, aux=None) -> DenseTris:
     """Precompute matmul coefficients from (T, 3, 3) triangles.
 
     Triangles are morton-sorted first (like the LBVH leaf order,
     bvh.fut:93-97) so the fixed-size chunks the Pallas kernel streams
     act as an implicit two-level hierarchy: each chunk's AABB is tight
     and the kernel can skip whole chunk-vs-ray-tile matmuls.
+
+    aux: optional (T,) per-triangle scalar carried alongside the
+    vertices (stored in tris column 9, returned per winning lane by
+    closest_hit) — the scene layer passes material ids.
     """
     from tracer_tpu.ops import morton as morton_mod
     tris = jnp.asarray(tris, jnp.float32).reshape(-1, 3, 3)
     t = tris.shape[0]
+    aux = (jnp.zeros((t,), jnp.float32) if aux is None
+           else jnp.asarray(aux, jnp.float32).reshape(t))
     if pad_to is None:
         env = os.environ.get("TRACER_CHUNK_T")
         if env:
@@ -94,12 +106,14 @@ def build_dense(tris, pad_to: int | None = None) -> DenseTris:
         centers = ((tri_min + tri_max) * 0.5 - smin) / dims
         order = jnp.argsort(morton_mod.morton3d(centers)).astype(jnp.int32)
         tris = tris[order]
+        aux = aux[order]
     else:
         order = jnp.arange(max(t, 1), dtype=jnp.int32)[:t]
 
     perm = jnp.concatenate([
         order, jnp.arange(t, t_pad, dtype=jnp.int32)])
     tris = jnp.pad(tris, ((0, t_pad - t), (0, 0), (0, 0)))
+    aux = jnp.pad(aux, (0, t_pad - t))
 
     # per-chunk AABBs over the real triangles; padded rows excluded via
     # +inf/-inf so empty chunks never pass the slab test
@@ -131,7 +145,9 @@ def build_dense(tris, pad_to: int | None = None) -> DenseTris:
         row(axe2, zeros, e2, one * 0),                             # m.e2
         row(axe1, zeros, e1, one * 0),                             # m.e1
     ])  # (4, T_pad, 10)
-    return DenseTris(coeffs=coeffs, tris=tris.reshape(t_pad, 9),
+    tri_rows = jnp.concatenate([tris.reshape(t_pad, 9), aux[:, None]],
+                               axis=1)
+    return DenseTris(coeffs=coeffs, tris=tri_rows,
                      perm=perm, chunk_bounds=chunk_bounds)
 
 
@@ -205,11 +221,14 @@ def _chunk_scores_t(phi_t, coeffs_chunk, tmax):
 def _reintersect(dense: DenseTris, best_i, origin, d, tmax):
     """Exact pos/normal for the winning triangle, mirroring the
     reference's final hit_triangle on the best leaf (bvh.fut:143-145).
-    The triangle record comes back via one-hot matmul, not gather; its
-    (9, N) rows are already V3 vertex blocks."""
-    rows_t = tables.take_rows_t(dense.tris, best_i)  # (9, N)
-    return shapes.hit_triangle_v(tmax, origin, d,
-                                 rows_t[0:3], rows_t[3:6], rows_t[6:9])
+    One (10, N) row fetch (one-hot matmul for small tables, wide gather
+    above ONEHOT_MAX_ROWS); rows 0-8 are V3 vertex blocks, row 9 the
+    per-triangle aux scalar, returned last."""
+    rows_t = tables.take_rows_t(dense.tris, best_i)  # (10, N)
+    ok, t, pos, nrm = shapes.hit_triangle_v(tmax, origin, d,
+                                            rows_t[0:3], rows_t[3:6],
+                                            rows_t[6:9])
+    return ok, t, pos, nrm, rows_t[9]
 
 
 def _use_pallas(t_pad: int) -> bool:
@@ -238,7 +257,8 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
                 chunk: int = DEFAULT_CHUNK):
     """Closest-hit query: rays as V3 (3,N)+(3,N) vs all triangles.
 
-    Returns (ok (N,), t (N,), tri_idx (N,) int32, pos (3,N), normal (3,N)).
+    Returns (ok (N,), t (N,), tri_idx (N,) int32, pos (3,N), normal (3,N),
+    aux (N,) f32 — the winner's build-time aux scalar, 0 on miss).
     Semantics match mk_fake_bvh.closest_hit (bvh.fut:31-39): global min-t.
     """
     phi_t = ray_features_t(origin, d)
@@ -249,14 +269,15 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
             dense.chunk_bounds)
         ok = jnp.isfinite(best_t)
         best_i = jnp.where(ok, best_i, 0)
-        ok2, t, pos, normal = _reintersect(
+        ok2, t, pos, normal, aux = _reintersect(
             dense, best_i, origin, d,
             # slack covers the kernel's bf16x3 t error (~2^-15 relative)
             # so a true winner isn't rejected by the exact re-test
             jnp.asarray(tmax, jnp.float32) * (1.0 + 1e-4))
         ok = ok & ok2
         return (ok, jnp.where(ok, t, jnp.inf),
-                jnp.where(ok, best_i, -1), pos, normal)
+                jnp.where(ok, best_i, -1), pos, normal,
+                jnp.where(ok, aux, 0.0))
     t_pad = dense.coeffs.shape[1]
     n_chunks = -(-t_pad // chunk)
     tmax = jnp.asarray(tmax, jnp.float32)
@@ -292,11 +313,12 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
     # slack covers the bf16x3 t error (~2^-15) when the score matmul is
     # packed; the exact HIGHEST formulation only needs rounding headroom
     slack = 1e-4 if _use_packed_bf16() else 1e-6
-    ok2, t, pos, normal = _reintersect(dense, best_i, origin, d,
-                                       tmax * (1.0 + slack))
+    ok2, t, pos, normal, aux = _reintersect(dense, best_i, origin, d,
+                                            tmax * (1.0 + slack))
     ok = ok & ok2
     return (ok, jnp.where(ok, t, jnp.inf),
-            jnp.where(ok, best_i, -1), pos, normal)
+            jnp.where(ok, best_i, -1), pos, normal,
+            jnp.where(ok, aux, 0.0))
 
 
 def any_hit(dense: DenseTris, tmax, origin, d,

@@ -212,9 +212,14 @@ def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles):
     winning index follows visitation order, which is per-tile here
     rather than the XLA path's chunk-index order.
     """
-    def one(bound):
-        tmin = jnp.zeros(phi.shape[1:], jnp.float32)
-        tmx = tmaxv
+    def batch(bounds_b):
+        """Slab-test all lanes against a BATCH of chunk AABBs at once:
+        bounds_b (B, 8) -> per-tile nearest entry (B, n_tiles). Batching
+        (vs the old per-chunk lax.map) turns K sequential fused passes
+        over the pool into ceil(K/B) — the sequential-map form cost
+        ~0.7 ms/iter (13% of the loop) on SpectrumSphere."""
+        tmin = jnp.zeros((bounds_b.shape[0],) + phi.shape[1:], jnp.float32)
+        tmx = jnp.broadcast_to(tmaxv, tmin.shape)
         for k in range(3):
             # Axis-parallel rays (d[k] == 0) whose origin sits exactly on
             # a bound plane produce 0 * inf = NaN, which would poison the
@@ -223,10 +228,10 @@ def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles):
             # a member chunk the kernel WOULD visit. Treat d[k] == 0 as
             # always-pass on this axis: a superset, so scheduling stays
             # a pure optimization.
-            par = phi[k] == 0.0
-            inv = 1.0 / jnp.where(par, 1.0, phi[k])
-            t0 = (bound[k] - phi[3 + k]) * inv
-            t1 = (bound[3 + k] - phi[3 + k]) * inv
+            par = (phi[k] == 0.0)[None]
+            inv = 1.0 / jnp.where(par, 1.0, phi[k][None])
+            t0 = (bounds_b[:, k, None] - phi[3 + k][None]) * inv
+            t1 = (bounds_b[:, 3 + k, None] - phi[3 + k][None]) * inv
             tmin = jnp.maximum(tmin, jnp.where(par, 0.0,
                                                jnp.minimum(t0, t1)))
             tmx = jnp.minimum(tmx, jnp.where(par, tmaxv,
@@ -235,11 +240,28 @@ def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles):
         # fully-padded chunks carry an inverted +inf/-inf box, which the
         # slab test does NOT reject (per-axis lo=-inf, hi=+inf) — key
         # them out explicitly so they never enter any tile's schedule
-        empty = bound[0] > bound[3]
+        empty = (bounds_b[:, 0] > bounds_b[:, 3])[:, None]
         entry = jnp.where((tmx > tmin) & ~empty, tmin, jnp.inf)
-        return jnp.min(entry.reshape(n_tiles, TILE_N), axis=1)
+        return jnp.min(entry.reshape(bounds_b.shape[0], n_tiles, TILE_N),
+                       axis=2)
 
-    keys = jax.lax.map(one, chunk_bounds).T          # (n_tiles, K)
+    k_chunks = chunk_bounds.shape[0]
+    b = min(k_chunks, 8)  # bound the (B, N) temp footprint
+    n_groups = -(-k_chunks // b)
+    pad = n_groups * b - k_chunks
+    if pad:
+        # padded entries carry the empty inverted box -> +inf entry
+        empty_box = jnp.concatenate([
+            jnp.full((pad, 3), jnp.inf, jnp.float32),
+            jnp.full((pad, 3), -jnp.inf, jnp.float32),
+            jnp.zeros((pad, 2), jnp.float32)], axis=1)
+        chunk_bounds = jnp.concatenate([chunk_bounds, empty_box], axis=0)
+    grouped = chunk_bounds.reshape(n_groups, b, 8)
+    if n_groups == 1:
+        keys = batch(grouped[0])
+    else:
+        keys = jax.lax.map(batch, grouped).reshape(n_groups * b, -1)
+    keys = keys[:k_chunks].T                         # (n_tiles, K)
     order = jnp.argsort(keys, axis=1).astype(jnp.int32)
     count = jnp.sum(jnp.isfinite(keys), axis=1).astype(jnp.int32)
     return order, count

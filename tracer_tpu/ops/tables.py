@@ -44,3 +44,12 @@ def take_rows_t(table, ix):
 def take_rows(table, ix):
     """table (M, K) f32, ix (N,) int32 -> (N, K) f32."""
     return take_rows_t(table, ix).T
+
+
+def take_scalar(table, ix):
+    """table (M,) integer, ix (N,) int32 -> (N,) same dtype.
+
+    A 1-element-per-lane fetch: XLA's TPU dynamic-gather handles the
+    narrow case well (unlike wide rows, whose (N, K) gather result lands
+    lane-major and costs a relayout), so this is a plain gather."""
+    return table[ix]
