@@ -74,7 +74,7 @@ def test_schedule_axis_parallel_ray_on_bound_plane():
     phi = intersect.ray_features_t(o, d)
     phi = jnp.pad(phi, ((0, 6), (0, pk.TILE_N - 1)))
     tmaxv = jnp.full((pk.TILE_N,), 1e30, jnp.float32)
-    order, count = pk._tile_chunk_order(phi, tmaxv, bounds, 1)
+    order, count = pk._tile_chunk_order(phi, tmaxv, bounds, 1, pk.TILE_N)
     assert int(count[0]) == 1  # NaN would have dropped it
 
 

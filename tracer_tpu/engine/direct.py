@@ -200,14 +200,27 @@ def estimate_direct(state, scene: scene_mod.Scene, wo,
     if mask is not None:
         live_l &= mask
         live_b &= mask
+    # Occupancy repacking: per lane at most one half is usually live (a
+    # diffuse lobe's BSDF sample almost surely misses the light; a delta
+    # lobe's light sample has f_l == 0), so slot 0 carries whichever half
+    # is live and slot 1 only the rare both-live lanes. The second N-lane
+    # block is then almost entirely tmax-0, so its ray tiles' schedules
+    # are empty and the kernel skips them — vs the unpacked layout where
+    # live BSDF rays scatter through the whole second half. Measured on
+    # SpectrumSphere 512x512/64spp: anyhit 1.30 -> ~0.9 ms/iter.
+    b_only = live_b & ~live_l
+    both = live_b & live_l
+    pick = lambda l, b: jnp.where(b_only, b, l)
     n = wi_l.shape[-1]
     blocked = scene_mod.any_hit(
-        scene, jnp.concatenate([jnp.where(live_l, st_l, 0.0),
-                                jnp.where(live_b, st_b, 0.0)]),
-        jnp.concatenate([so_l, so_b], axis=1),
-        jnp.concatenate([sd_l, sd_b], axis=1))
+        scene,
+        jnp.concatenate([
+            jnp.where(live_l | live_b, pick(st_l, st_b), 0.0),
+            jnp.where(both, st_b, 0.0)]),
+        jnp.concatenate([pick(so_l, so_b), so_b], axis=1),
+        jnp.concatenate([pick(sd_l, sd_b), sd_b], axis=1))
     occ = bf_l | blocked[:n]
-    occ_b = bf_b | blocked[n:]
+    occ_b = bf_b | jnp.where(both, blocked[n:], blocked[:n])
 
     in_radiance = jnp.where(occ, 0.0, in_radiance)
     light_part = jnp.where(

@@ -46,7 +46,22 @@ from tracer_tpu.ops import shapes
 # 128MB of VMEM — raise the cap so big scenes compile.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
-TILE_N = 2048     # rays per tile (lanes)
+TILE_N = 2048     # rays per tile (lanes); override via TRACER_TILE_N
+
+
+def _tile_n() -> int:
+    """Per-call tile width. Smaller tiles cull better (a tile's chunk
+    schedule covers the union of its rays' reachable sets) at the cost
+    of more per-tile fixed work (phi pack, schedule walk)."""
+    import os
+    return int(os.environ.get("TRACER_TILE_N", str(TILE_N)))
+
+
+def _approx_recip() -> bool:
+    """TRACER_APPROX_RECIP=1: hardware-approximate reciprocal in the
+    closest epilogue (see _scores). Off by default pending measurement."""
+    import os
+    return os.environ.get("TRACER_APPROX_RECIP", "") == "1"
 # Max schedule entries per tile: chunks group into superchunks of
 # g = ceil(n_chunks / MAX_SCHED) so the SMEM order table is (n_tiles,
 # <=MAX_SCHED) int32 and the XLA-side schedule build is O(MAX_SCHED * N)
@@ -140,7 +155,18 @@ def _scores(coeffs, phi_cat, tmax, lane_major: bool):
     mm = _blocks(coeffs, lane_major)
     a = mm(0, phi_cat)
     nondeg = jnp.abs(a) >= shapes.TRI_EPS
-    inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
+    if _approx_recip():
+        # TPU hardware reciprocal (one VPU op vs the ~7-op Newton
+        # divide), ~2^-12 relative error. t only drives the in-chunk
+        # min/argmin, the monotone best-t cull bound, and the returned
+        # best_t — all re-verified by the exact elementwise
+        # _reintersect, whose tmax slack (1e-4) covers the error. Two
+        # triangles within ~2^-12 relative t may swap winners
+        # (geometrically coincident surfaces); the XLA formulation uses
+        # the exact divide.
+        inv_a = jnp.where(nondeg, pl.reciprocal(a, approx=True), 0.0)
+    else:
+        inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
     t = mm(1, phi_cat) * inv_a
     valid = nondeg & (t > 0) & (t < tmax)
     u = mm(2, phi_cat) * inv_a
@@ -192,7 +218,7 @@ def _superchunk_bounds(chunk_bounds, g: int):
         jnp.zeros((n_super, 2), jnp.float32)], axis=1)
 
 
-def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles):
+def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles, tile_n):
     """Per-ray-tile near-to-far (super)chunk visitation schedule
     (XLA side).
 
@@ -242,7 +268,7 @@ def _tile_chunk_order(phi, tmaxv, chunk_bounds, n_tiles):
         # them out explicitly so they never enter any tile's schedule
         empty = (bounds_b[:, 0] > bounds_b[:, 3])[:, None]
         entry = jnp.where((tmx > tmin) & ~empty, tmin, jnp.inf)
-        return jnp.min(entry.reshape(bounds_b.shape[0], n_tiles, TILE_N),
+        return jnp.min(entry.reshape(bounds_b.shape[0], n_tiles, tile_n),
                        axis=2)
 
     k_chunks = chunk_bounds.shape[0]
@@ -302,8 +328,8 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi)
     tmax = tmax_ref[:]
-    best_t_ref[:] = jnp.full((TILE_N,), jnp.inf, jnp.float32)
-    best_i_ref[:] = jnp.zeros((TILE_N,), jnp.int32)
+    best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
+    best_i_ref[:] = jnp.zeros(best_i_ref.shape, jnp.int32)
 
     ti = pl.program_id(0)
 
@@ -339,7 +365,7 @@ def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi)
     tmax = tmax_ref[:]
-    hit_ref[:] = jnp.zeros((TILE_N,), jnp.bool_)
+    hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.bool_)
 
     ti = pl.program_id(0)
 
@@ -412,8 +438,8 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi)
     tmax = tmax_ref[:]
-    best_t_ref[:] = jnp.full((TILE_N,), jnp.inf, jnp.float32)
-    best_i_ref[:] = jnp.zeros((TILE_N,), jnp.int32)
+    best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
+    best_i_ref[:] = jnp.zeros(best_i_ref.shape, jnp.int32)
 
     ti = pl.program_id(0)
     total = count_ref[ti] * g
@@ -476,7 +502,7 @@ def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi)
     tmax = tmax_ref[:]
-    hit_ref[:] = jnp.zeros((TILE_N,), jnp.bool_)
+    hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.bool_)
 
     ti = pl.program_id(0)
     total = count_ref[ti] * g
@@ -526,7 +552,8 @@ def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
                   sems=pltpu.SemaphoreType.DMA((2,)))
 
 
-def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool):
+def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool,
+                tile_n: int):
     """Pad rays to TILE_N multiple and the feature axis 10 -> 16
     (sublane alignment for the MXU operand), then pre-pack the triangle
     coefficients as the K=48 bf16x3 left operand [rh | rh | rl] (see
@@ -536,7 +563,7 @@ def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool):
     t_pad = coeffs.shape[1]
     assert t_pad % n_chunks == 0, (t_pad, n_chunks)
     chunk_t = t_pad // n_chunks
-    n_pad = -(-n // TILE_N) * TILE_N
+    n_pad = -(-n // tile_n) * tile_n
     coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, 6)))
     coeffs = coeffs.reshape(4, n_chunks, chunk_t, 16)
     if lane_major:
@@ -565,12 +592,13 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     n_chunks = chunk_bounds.shape[0]
     streaming = _use_streaming(4 * coeffs.shape[1] * 48 * 2)
     lane_major = streaming or _use_lane_major(coeffs.shape[1])
+    tile_n = _tile_n()
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
-        coeffs, phi_t, tmax, n, n_chunks, lane_major)
-    n_tiles = n_pad // TILE_N
+        coeffs, phi_t, tmax, n, n_chunks, lane_major, tile_n)
+    n_tiles = n_pad // tile_n
     g = -(-n_chunks // MAX_SCHED)
     sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
-    order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles)
+    order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles, tile_n)
     grid = (n_tiles,)
     if streaming:
         kernel = functools.partial(
@@ -588,16 +616,16 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
+            pl.BlockSpec((16, tile_n), lambda ri: (0, ri)),
             coeff_spec,                             # all chunk coeffs
-            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
+            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
             bounds_spec,                            # per-chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
         out_specs=[
-            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
-            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
+            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
+            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad,), jnp.float32),
@@ -619,12 +647,13 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     n_chunks = chunk_bounds.shape[0]
     streaming = _use_streaming(4 * coeffs.shape[1] * 48 * 2)
     lane_major = streaming or _use_lane_major(coeffs.shape[1])
+    tile_n = _tile_n()
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
-        coeffs, phi_t, tmax, n, n_chunks, lane_major)
-    n_tiles = n_pad // TILE_N
+        coeffs, phi_t, tmax, n, n_chunks, lane_major, tile_n)
+    n_tiles = n_pad // tile_n
     g = -(-n_chunks // MAX_SCHED)
     sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
-    order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles)
+    order, count = _tile_chunk_order(phi, tmaxv, sbounds, n_tiles, tile_n)
     grid = (n_tiles,)
     if streaming:
         kernel = functools.partial(
@@ -640,14 +669,14 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((16, TILE_N), lambda ri: (0, ri)),
+            pl.BlockSpec((16, tile_n), lambda ri: (0, ri)),
             coeff_spec,                             # all chunk coeffs
-            pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
+            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
             bounds_spec,                            # per-chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
-        out_specs=pl.BlockSpec((TILE_N,), lambda ri: (ri,)),
+        out_specs=pl.BlockSpec((tile_n,), lambda ri: (ri,)),
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
