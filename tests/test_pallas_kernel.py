@@ -157,3 +157,91 @@ def test_pallas_per_ray_tmax(rng_np):
     tmaxes = jnp.where(jnp.isfinite(bt), bt * 0.5, 1.0)
     bt2, _ = pk.closest_hit_pallas(dense.coeffs, phi, tmaxes, dense.chunk_bounds, interpret=True)
     assert not np.any(np.isfinite(np.asarray(bt2)) & np.isfinite(np.asarray(bt)))
+
+
+def test_split_bf16_3_is_f32_exact(rng_np):
+    """hi+mid+lo reproduces f32 to the last bit (lo absorbs <= 1 ulp of
+    bf16 rounding) across magnitudes."""
+    x = jnp.asarray((rng_np.standard_normal(4096)
+                     * 10.0 ** rng_np.uniform(-6, 6, 4096)).astype(np.float32))
+    h, m, l = pk._split_bf16_3(x)
+    rec = (h.astype(np.float32) + m.astype(np.float32)
+           + l.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
+                               rtol=2 ** -31, atol=0)
+
+
+def test_x6_packing_matches_f32_matmul(rng_np):
+    """The K=96 x6-packed product reproduces the exact f32 dot product
+    to ~2^-22 relative, vs ~2^-14 for x3 (catastrophic-cancellation
+    guard for big-scene barycentric scores)."""
+    a = jnp.asarray(rng_np.uniform(-3, 3, (64, 16)).astype(np.float32))
+    b = jnp.asarray(rng_np.uniform(-3, 3, (16, 128)).astype(np.float32))
+    exact = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    scale = (np.abs(np.asarray(a, np.float64)) @
+             np.abs(np.asarray(b, np.float64)))  # term-magnitude scale
+
+    def packed(splits):
+        wa = pk._split_words(a, splits)
+        wb = pk._split_words(b, splits)
+        pa = jnp.concatenate([wa[i] for i in pk._PACK_LEFT[splits]], axis=1)
+        pb = jnp.concatenate([wb[i] for i in pk._PACK_RIGHT[splits]], axis=0)
+        import jax
+        return np.asarray(jax.lax.dot_general(
+            pa, pb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+
+    err3 = np.abs(packed(2) - exact) / scale
+    err6 = np.abs(packed(3) - exact) / scale
+    assert err3.max() < 2 ** -13, err3.max()
+    assert err6.max() < 2 ** -21, err6.max()
+    assert err6.max() < err3.max() / 32
+
+
+def test_pallas_x6_matches_x3(rng_np, monkeypatch):
+    """Forced x6 packing gives the same hits as x3 on a well-conditioned
+    scene, in all three layout/streaming modes."""
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (900, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 300
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+
+    results = {}
+    for mode, env in [("sublane", {"TRACER_COEFF_LAYOUT": "sublane"}),
+                      ("lane", {"TRACER_COEFF_LAYOUT": "lane"}),
+                      ("stream", {"TRACER_STREAM_COEFFS": "1"})]:
+        for pack in ("x3", "x6"):
+            monkeypatch.setenv("TRACER_MXU_PACK", pack)
+            for k, v in env.items():
+                monkeypatch.setenv(k, v)
+            bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                           dense.chunk_bounds, interpret=True)
+            hp = pk.any_hit_pallas(dense.coeffs, phi, 4.0,
+                                   dense.chunk_bounds, interpret=True)
+            results[(mode, pack)] = (np.asarray(bt), np.asarray(bi),
+                                     np.asarray(hp))
+            for k in env:
+                monkeypatch.delenv(k)
+        bt3, bi3, hp3 = results[(mode, "x3")]
+        bt6, bi6, hp6 = results[(mode, "x6")]
+        hit3, hit6 = np.isfinite(bt3), np.isfinite(bt6)
+        assert (hit3 == hit6).mean() > 0.99, mode
+        both = hit3 & hit6
+        assert (bi6[both] == bi3[both]).mean() > 0.99, mode
+        assert (hp3 == hp6).mean() > 0.99, mode
+        # the raw kernel ts differ by x3's cancellation error (up to a
+        # few % relative when |terms| >> |t|); assert x6 is the more
+        # accurate one against the exact per-winner re-intersection
+        same = both & (bi6 == bi3)
+        _, te, _, _, _ = intersect._reintersect(
+            dense, jnp.asarray(bi6), ov, dv, 1e30)
+        te = np.asarray(te)
+        e6 = np.abs(bt6[same] - te[same])
+        e3 = np.abs(bt3[same] - te[same])
+        assert np.median(e6) <= np.median(e3), mode
+        np.testing.assert_allclose(bt6[same], te[same],
+                                   rtol=1e-4, atol=1e-5, err_msg=mode)

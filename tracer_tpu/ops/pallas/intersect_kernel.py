@@ -92,11 +92,66 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _pack_phi(phi):
-    """(16, N) f32 -> (48, N) bf16 [ph; plo; ph] (the K-packed bf16x3
-    right operand; see _scores)."""
-    ph, plo = _split_bf16(phi)
-    return jnp.concatenate([ph, plo, ph], axis=0)
+def _split_bf16_3(x):
+    """Split f32 into (hi, mid, lo) bf16 so hi+mid+lo reproduces the
+    full 24-bit mantissa (same mask-don't-convert construction as
+    _split_bf16; each residual subtraction is exact because the
+    truncated piece shares x's exponent range)."""
+    xu = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        xu & jnp.uint32(0xFFFF0000), jnp.float32)
+    r1 = x - hi_f32
+    r1u = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid_f32 = jax.lax.bitcast_convert_type(
+        r1u & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = (r1 - mid_f32).astype(jnp.bfloat16)
+    return hi_f32.astype(jnp.bfloat16), mid_f32.astype(jnp.bfloat16), lo
+
+
+# K-packed multi-word bf16 emulation of the f32 score matmul: each
+# operand splits into `splits` bf16 words and the product keeps every
+# term pair whose magnitude exceeds the target precision, laid out so
+# ONE dot_general computes their sum (the MXU pipes any K <= 128
+# through in one pass, so K-packing is free compute):
+#   x3 (splits=2, K=48):  [xh|xh|xl] @ [yh;yl;yh]       ~2^-16 error
+#   x6 (splits=3, K=96):  [xh|xh|xm|xh|xm|xl] @
+#                         [yh;ym;yh;yl;ym;yh]           ~2^-24 (f32) error
+# Word indices per block, left operand then right operand:
+_PACK_LEFT = {2: (0, 0, 1), 3: (0, 0, 1, 0, 1, 2)}
+_PACK_RIGHT = {2: (0, 1, 0), 3: (0, 1, 0, 2, 1, 0)}
+
+
+def _split_words(x, splits: int):
+    return _split_bf16(x) if splits == 2 else _split_bf16_3(x)
+
+
+def _mxu_splits(t_pad: int) -> int:
+    """Words per operand for the score matmul. bf16x3's error is
+    ~2^-16 relative to the TERM magnitudes of each determinant dot
+    product, and the near-edge barycentric scores it feeds suffer
+    catastrophic cancellation as triangles shrink relative to the ray
+    origin's distance (terms ~ |o|*edge, result ~ edge^2): at ~2M
+    subdivided triangles the barycentric error band reaches ~1e-2 and
+    visibly loses shared-edge hits (benchmarks/bigscene_check.py found
+    5/8192 lost hits at 2.23M tris). x6 restores full f32 accuracy for
+    the SAME number of MXU passes (K=96 <= 128), at 2x coefficient
+    bytes — so it gates on scene size, where the conditioning needs it
+    and the coefficients already live lane-major/streamed.
+    TRACER_MXU_PACK=x3|x6 forces either."""
+    import os
+    mode = os.environ.get("TRACER_MXU_PACK", "").lower()
+    if mode == "x3":
+        return 2
+    if mode == "x6":
+        return 3
+    return 3 if t_pad > LANE_MAJOR_MIN_TRIS else 2
+
+
+def _pack_phi(phi, splits: int = 2):
+    """(16, N) f32 -> (16*len(order), N) bf16 K-packed right operand
+    (see _PACK_RIGHT)."""
+    w = _split_words(phi, splits)
+    return jnp.concatenate([w[i] for i in _PACK_RIGHT[splits]], axis=0)
 
 
 def _blocks(coeffs, lane_major: bool):
@@ -319,6 +374,7 @@ def _chunk_cull(phi, bounds_ref, ci, upper):
 
 
 def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
+                    splits: int,
                     phi_ref, coeffs_ref, tmax_ref, bounds_ref, order_ref,
                     count_ref, best_t_ref, best_i_ref):
     """Grid is (ray tiles,) only: the chunk loop runs in-kernel following
@@ -326,7 +382,7 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
     superchunk granularity g) so unreachable superchunks are never
     visited and far chunks die on the best-t slab cull."""
     phi = phi_ref[:]
-    phi_cat = _pack_phi(phi)
+    phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
     best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
     best_i_ref[:] = jnp.zeros(best_i_ref.shape, jnp.int32)
@@ -360,10 +416,11 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
 
 
 def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
+                splits: int,
                 phi_ref, coeffs_ref, tmax_ref, bounds_ref, order_ref,
                 count_ref, hit_ref):
     phi = phi_ref[:]
-    phi_cat = _pack_phi(phi)
+    phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
     hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.bool_)
 
@@ -429,6 +486,7 @@ def _use_streaming(coeff_bytes: int) -> bool:
 
 
 def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
+                             splits: int,
                              phi_ref, coeffs_hbm, tmax_ref, bounds_ref,
                              order_ref, count_ref,
                              best_t_ref, best_i_ref):
@@ -436,7 +494,7 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
     HBM, chunks DMA'd through a double-buffered VMEM scratch along this
     tile's schedule."""
     phi = phi_ref[:]
-    phi_cat = _pack_phi(phi)
+    phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
     best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
     best_i_ref[:] = jnp.zeros(best_i_ref.shape, jnp.int32)
@@ -492,15 +550,17 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
         jax.lax.fori_loop(0, total, loop, m0)
 
     pl.run_scoped(body,
-                  scratch=pltpu.VMEM((2, 48, rows), jnp.bfloat16),
+                  scratch=pltpu.VMEM((2, 16 * len(_PACK_LEFT[splits]), rows),
+                                     jnp.bfloat16),
                   sems=pltpu.SemaphoreType.DMA((2,)))
 
 
 def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
+                         splits: int,
                          phi_ref, coeffs_hbm, tmax_ref, bounds_ref,
                          order_ref, count_ref, hit_ref):
     phi = phi_ref[:]
-    phi_cat = _pack_phi(phi)
+    phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
     hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.bool_)
 
@@ -548,17 +608,18 @@ def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
         jax.lax.fori_loop(0, total, loop, m0)
 
     pl.run_scoped(body,
-                  scratch=pltpu.VMEM((2, 48, rows), jnp.bfloat16),
+                  scratch=pltpu.VMEM((2, 16 * len(_PACK_LEFT[splits]), rows),
+                                     jnp.bfloat16),
                   sems=pltpu.SemaphoreType.DMA((2,)))
 
 
 def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool,
-                tile_n: int):
+                tile_n: int, splits: int):
     """Pad rays to TILE_N multiple and the feature axis 10 -> 16
     (sublane alignment for the MXU operand), then pre-pack the triangle
-    coefficients as the K=48 bf16x3 left operand [rh | rh | rl] (see
-    _blocks) — sublane-major (rows, 48) for stock scenes, lane-major
-    (48, rows) for big ones. Chunking matches the build-time
+    coefficients as the K-packed bf16 left operand (see _PACK_LEFT;
+    K=48 x3 or K=96 x6) — sublane-major (rows, K) for stock scenes,
+    lane-major (K, rows) for big ones. Chunking matches the build-time
     chunk_bounds granularity."""
     t_pad = coeffs.shape[1]
     assert t_pad % n_chunks == 0, (t_pad, n_chunks)
@@ -566,16 +627,17 @@ def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool,
     n_pad = -(-n // tile_n) * tile_n
     coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, 6)))
     coeffs = coeffs.reshape(4, n_chunks, chunk_t, 16)
+    order = _PACK_LEFT[splits]
     if lane_major:
         coeffs = coeffs.transpose(3, 1, 0, 2).reshape(
             16, n_chunks * 4 * chunk_t)
-        rh, rl = _split_bf16(coeffs)
-        coeffs = jnp.concatenate([rh, rh, rl], axis=0)    # (48, rows)
+        w = _split_words(coeffs, splits)
+        coeffs = jnp.concatenate([w[i] for i in order], axis=0)   # (K, rows)
     else:
         coeffs = coeffs.transpose(1, 0, 2, 3).reshape(
             n_chunks * 4 * chunk_t, 16)
-        rh, rl = _split_bf16(coeffs)
-        coeffs = jnp.concatenate([rh, rh, rl], axis=-1)   # (rows, 48)
+        w = _split_words(coeffs, splits)
+        coeffs = jnp.concatenate([w[i] for i in order], axis=-1)  # (rows, K)
     phi = jnp.pad(phi_t, ((0, 6), (0, n_pad - n)))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     tmax = jnp.pad(tmax, (0, n_pad - n))
@@ -590,11 +652,13 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     import functools
     n = phi_t.shape[1]
     n_chunks = chunk_bounds.shape[0]
-    streaming = _use_streaming(4 * coeffs.shape[1] * 48 * 2)
+    splits = _mxu_splits(coeffs.shape[1])
+    k_pack = 16 * len(_PACK_LEFT[splits])
+    streaming = _use_streaming(4 * coeffs.shape[1] * k_pack * 2)
     lane_major = streaming or _use_lane_major(coeffs.shape[1])
     tile_n = _tile_n()
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
-        coeffs, phi_t, tmax, n, n_chunks, lane_major, tile_n)
+        coeffs, phi_t, tmax, n, n_chunks, lane_major, tile_n, splits)
     n_tiles = n_pad // tile_n
     g = -(-n_chunks // MAX_SCHED)
     sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
@@ -602,14 +666,14 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     grid = (n_tiles,)
     if streaming:
         kernel = functools.partial(
-            _closest_kernel_streamed, g, n_chunks, chunk_t)
+            _closest_kernel_streamed, g, n_chunks, chunk_t, splits)
         coeff_spec = pl.BlockSpec(memory_space=pl.ANY)  # HBM-resident
         # per-chunk bounds outgrow the 1MB SMEM at ~2000 chunks (SMEM
         # pads each element heavily); VMEM holds them comfortably
         bounds_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     else:
         kernel = functools.partial(
-            _closest_kernel, g, n_chunks, chunk_t, lane_major)
+            _closest_kernel, g, n_chunks, chunk_t, lane_major, splits)
         coeff_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     best_t, best_i = pl.pallas_call(
@@ -645,11 +709,13 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     import functools
     n = phi_t.shape[1]
     n_chunks = chunk_bounds.shape[0]
-    streaming = _use_streaming(4 * coeffs.shape[1] * 48 * 2)
+    splits = _mxu_splits(coeffs.shape[1])
+    k_pack = 16 * len(_PACK_LEFT[splits])
+    streaming = _use_streaming(4 * coeffs.shape[1] * k_pack * 2)
     lane_major = streaming or _use_lane_major(coeffs.shape[1])
     tile_n = _tile_n()
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
-        coeffs, phi_t, tmax, n, n_chunks, lane_major, tile_n)
+        coeffs, phi_t, tmax, n, n_chunks, lane_major, tile_n, splits)
     n_tiles = n_pad // tile_n
     g = -(-n_chunks // MAX_SCHED)
     sbounds = chunk_bounds if g == 1 else _superchunk_bounds(chunk_bounds, g)
@@ -657,12 +723,12 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     grid = (n_tiles,)
     if streaming:
         kernel = functools.partial(
-            _any_kernel_streamed, g, n_chunks, chunk_t)
+            _any_kernel_streamed, g, n_chunks, chunk_t, splits)
         coeff_spec = pl.BlockSpec(memory_space=pl.ANY)  # HBM-resident
         bounds_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     else:
         kernel = functools.partial(
-            _any_kernel, g, n_chunks, chunk_t, lane_major)
+            _any_kernel, g, n_chunks, chunk_t, lane_major, splits)
         coeff_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         bounds_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     hit = pl.pallas_call(
