@@ -437,3 +437,20 @@ def test_aperture_defocus_render():
                 + np.abs(np.diff(d, axis=1)).mean())
 
     assert tv(blur) < 0.9 * tv(sharp), (tv(blur), tv(sharp))
+
+
+def test_oversize_scene_fails_loudly():
+    """Above the verified dense/streaming cap, accel='auto' must raise a
+    clear error instead of silently routing onto the LBVH traversal
+    (which faults the v5e runtime inside the pooled renderer)."""
+    from tracer_tpu.models import scene as scene_mod
+    tris, tm, mats = testscenes.cornell_like()
+    try:
+        scene_mod.DENSE_THRESHOLD, saved = 4, scene_mod.DENSE_THRESHOLD
+        with pytest.raises(ValueError, match="accel='lbvh'"):
+            scene_mod.build_scene(tris, tm, mats)
+        # explicit accel choices still work at any size
+        scene_mod.build_scene(tris, tm, mats, accel="dense")
+        scene_mod.build_scene(tris, tm, mats, accel="lbvh")
+    finally:
+        scene_mod.DENSE_THRESHOLD = saved

@@ -37,8 +37,14 @@ Accel = Union[intersect.DenseTris, bvh_mod.LBVH]
 # set by the per-chunk SMEM bounds table and by throughput (a flat
 # chunk stream is O(reachable chunks) per ray), not by memory;
 # superchunk-granular scheduling (MAX_SCHED) keeps schedule tables
-# bounded at any size.
-DENSE_THRESHOLD = 1048576
+# bounded at any size. benchmarks/bigscene_check.py validates the
+# streaming path hit-for-hit vs the exact XLA oracle at 2.23M
+# triangles (the run that motivated x6 score packing:
+# pallas/intersect_kernel._mxu_splits); "auto" above the cap raises
+# instead of silently routing onto the LBVH traversal, whose
+# while-loop form faults the v5e runtime at >=65k lanes inside the
+# pooled renderer.
+DENSE_THRESHOLD = 2_500_000
 
 
 class Scene(NamedTuple):
@@ -90,7 +96,15 @@ def build_scene(tris_np, tri_mats_np, mat_rows_np,
     if mat_rows_np.shape[0] == 0:
         mat_rows_np = np.zeros((1, 28), np.float32)
     if accel == "auto":
-        accel = "dense" if t <= DENSE_THRESHOLD else "lbvh"
+        if t > DENSE_THRESHOLD:
+            raise ValueError(
+                f"scene has {t} triangles, above the verified dense/"
+                f"streaming cap ({DENSE_THRESHOLD}); pass accel='lbvh' "
+                f"explicitly (host/CPU experimentation only — the LBVH "
+                f"traversal is not supported inside the pooled TPU "
+                f"renderer) or accel='dense' to try the streaming "
+                f"intersector past its verified size")
+        accel = "dense"
     tris = jnp.asarray(tris_np)
     # tri_mat is indexed by the accel's returned triangle index, so it
     # must follow the accel's storage order: the dense intersector
