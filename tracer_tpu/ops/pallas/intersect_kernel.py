@@ -23,9 +23,12 @@ kernel keeps everything in VMEM:
   The schedule is built at SUPERCHUNK granularity — groups of
   g = ceil(n_chunks / MAX_SCHED) morton-consecutive chunks — so its
   SMEM table and XLA-side build cost stay bounded (<= MAX_SCHED
-  entries/tile) at any scene size; the kernel walks the scheduled
-  superchunks and culls their member chunks individually. Stock
-  scenes (< MAX_SCHED chunks) get g = 1: per-chunk scheduling.
+  entries/tile) at any scene size. At g > 1 the kernel walk is
+  two-level: each scheduled superchunk's union AABB is re-tested at
+  the current (best-t-tightened) bound before its g member culls run,
+  so superchunks occluded since schedule time cost one slab test, not
+  g. Stock scenes (< MAX_SCHED chunks) get g = 1: per-chunk
+  scheduling, flat walk.
 
 HBM traffic is phi reads + (TILE_N,) outputs; skipped chunks cost a few
 VPU ops. The same shape serves any_hit (bool accumulate + tmax cull).
@@ -375,12 +378,20 @@ def _chunk_cull(phi, bounds_ref, ci, upper):
 
 def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
                     splits: int,
-                    phi_ref, coeffs_ref, tmax_ref, bounds_ref, order_ref,
-                    count_ref, best_t_ref, best_i_ref):
+                    phi_ref, coeffs_ref, tmax_ref, bounds_ref, sbounds_ref,
+                    order_ref, count_ref, best_t_ref, best_i_ref):
     """Grid is (ray tiles,) only: the chunk loop runs in-kernel following
     this tile's near-to-far schedule (order/count from _tile_chunk_order,
     superchunk granularity g) so unreachable superchunks are never
-    visited and far chunks die on the best-t slab cull."""
+    visited and far chunks die on the best-t slab cull.
+
+    At g > 1 the walk is TWO-LEVEL: each scheduled superchunk's union
+    AABB (sbounds) is slab-tested at the CURRENT tightened bound
+    (min(tmax, best_t) — tighter than the schedule-time bound, which
+    couldn't know best_t) before its g member culls run, so a superchunk
+    the near chunks have since occluded costs one slab test instead of
+    g. Sound for the same reason the member cull is: the union box test
+    is a superset of every member test."""
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
@@ -389,10 +400,7 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
 
     ti = pl.program_id(0)
 
-    def body(rr, _):
-        # rr walks the flattened (scheduled superchunk, member) sequence
-        ci = order_ref[ti, rr // g] * g + rr % g
-        in_range = ci < n_chunks
+    def visit(ci, in_range):
         ci = jnp.minimum(ci, n_chunks - 1)
         upper = jnp.minimum(tmax, best_t_ref[:])
         may_hit = _chunk_cull(phi, bounds_ref, ci, upper)
@@ -410,15 +418,36 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
             best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
             best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
 
-        return 0
+    if g == 1:
+        def body(rr, _):
+            ci = order_ref[ti, rr]
+            visit(ci, ci < n_chunks)
+            return 0
 
-    jax.lax.fori_loop(0, count_ref[ti] * g, body, 0)
+        jax.lax.fori_loop(0, count_ref[ti], body, 0)
+    else:
+        def super_body(r, _):
+            si = order_ref[ti, r]
+            upper = jnp.minimum(tmax, best_t_ref[:])
+
+            @pl.when(jnp.any(_chunk_cull(phi, sbounds_ref, si, upper)))
+            def _():
+                def member(j, _):
+                    ci = si * g + j
+                    visit(ci, ci < n_chunks)
+                    return 0
+
+                jax.lax.fori_loop(0, g, member, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, count_ref[ti], super_body, 0)
 
 
 def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
                 splits: int,
-                phi_ref, coeffs_ref, tmax_ref, bounds_ref, order_ref,
-                count_ref, hit_ref):
+                phi_ref, coeffs_ref, tmax_ref, bounds_ref, sbounds_ref,
+                order_ref, count_ref, hit_ref):
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
@@ -426,9 +455,7 @@ def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
 
     ti = pl.program_id(0)
 
-    def body(rr, _):
-        ci = order_ref[ti, rr // g] * g + rr % g
-        in_range = ci < n_chunks
+    def visit(ci, in_range):
         ci = jnp.minimum(ci, n_chunks - 1)
         may_hit = _chunk_cull(phi, bounds_ref, ci, tmax) & ~hit_ref[:]
 
@@ -441,9 +468,30 @@ def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
             valid = _scores_any(coeffs, phi_cat, tmax, lane_major)
             hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
 
-        return 0
+    if g == 1:
+        def body(rr, _):
+            ci = order_ref[ti, rr]
+            visit(ci, ci < n_chunks)
+            return 0
 
-    jax.lax.fori_loop(0, count_ref[ti] * g, body, 0)
+        jax.lax.fori_loop(0, count_ref[ti], body, 0)
+    else:
+        def super_body(r, _):
+            si = order_ref[ti, r]
+            alive = _chunk_cull(phi, sbounds_ref, si, tmax) & ~hit_ref[:]
+
+            @pl.when(jnp.any(alive))
+            def _():
+                def member(j, _):
+                    ci = si * g + j
+                    visit(ci, ci < n_chunks)
+                    return 0
+
+                jax.lax.fori_loop(0, g, member, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, count_ref[ti], super_body, 0)
 
 
 # Above this many padded triangles the packed coefficients switch to the
@@ -488,11 +536,18 @@ def _use_streaming(coeff_bytes: int) -> bool:
 def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
                              splits: int,
                              phi_ref, coeffs_hbm, tmax_ref, bounds_ref,
-                             order_ref, count_ref,
+                             sbounds_ref, order_ref, count_ref,
                              best_t_ref, best_i_ref):
     """Streaming variant of _closest_kernel: lane-major coefficients in
     HBM, chunks DMA'd through a double-buffered VMEM scratch along this
-    tile's schedule."""
+    tile's schedule.
+
+    Two-level at g > 1 (see _closest_kernel): each scheduled
+    superchunk's union AABB gates its whole member pipeline, so a
+    superchunk occluded since schedule time costs one slab test — no
+    member culls, no DMAs. The member DMA pipeline restarts per live
+    superchunk (one DMA-latency bubble each; members within a
+    superchunk still double-buffer)."""
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
@@ -500,54 +555,92 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
     best_i_ref[:] = jnp.zeros(best_i_ref.shape, jnp.int32)
 
     ti = pl.program_id(0)
-    total = count_ref[ti] * g
     rows = 4 * chunk_t
 
-    def chunk_id(rr):
-        ci = order_ref[ti, rr // g] * g + rr % g
-        return jnp.minimum(ci, n_chunks - 1), ci < n_chunks
-
     def body(scratch, sems):
-        def dma(rr, slot):
-            ci, _ = chunk_id(rr)
+        def dma(ci, slot):
+            ci = jnp.minimum(ci, n_chunks - 1)
             return pltpu.make_async_copy(
                 coeffs_hbm.at[:, pl.ds(ci * rows, rows)],
                 scratch.at[slot], sems.at[slot])
 
-        def may(rr, upper):
-            ci, ok = chunk_id(rr)
+        def may(ci, upper):
+            ok = ci < n_chunks
+            ci = jnp.minimum(ci, n_chunks - 1)
             return ok & jnp.any(_chunk_cull(phi, bounds_ref, ci, upper))
 
-        m0 = (total > 0) & may(0, tmax)
+        def compute(ci, slot):
+            coeffs = scratch[slot]
+            valid, t = _scores(coeffs, phi_cat, tmax, True)
+            loc_t = jnp.min(t, axis=0)
+            loc_i = (jnp.argmin(t, axis=0).astype(jnp.int32)
+                     + ci * chunk_t)
+            better = loc_t < best_t_ref[:]
+            best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
+            best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
 
-        @pl.when(m0)
-        def _():
-            dma(0, 0).start()
+        if g == 1:
+            total = count_ref[ti]
 
-        def loop(rr, started):
-            upper = jnp.minimum(tmax, best_t_ref[:])
-            m_next = (rr + 1 < total) & may(rr + 1, upper)
+            def chunk_id(rr):
+                return order_ref[ti, rr]
 
-            @pl.when(m_next)
+            m0 = (total > 0) & may(chunk_id(0), tmax)
+
+            @pl.when(m0)
             def _():
-                dma(rr + 1, (rr + 1) % 2).start()
+                dma(chunk_id(0), 0).start()
 
-            @pl.when(started)
-            def _():
-                dma(rr, rr % 2).wait()
-                coeffs = scratch[rr % 2]
-                valid, t = _scores(coeffs, phi_cat, tmax, True)
-                ci, _ = chunk_id(rr)
-                loc_t = jnp.min(t, axis=0)
-                loc_i = (jnp.argmin(t, axis=0).astype(jnp.int32)
-                         + ci * chunk_t)
-                better = loc_t < best_t_ref[:]
-                best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
-                best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+            def loop(rr, started):
+                upper = jnp.minimum(tmax, best_t_ref[:])
+                m_next = (rr + 1 < total) & may(chunk_id(rr + 1), upper)
 
-            return m_next
+                @pl.when(m_next)
+                def _():
+                    dma(chunk_id(rr + 1), (rr + 1) % 2).start()
 
-        jax.lax.fori_loop(0, total, loop, m0)
+                @pl.when(started)
+                def _():
+                    dma(chunk_id(rr), rr % 2).wait()
+                    compute(chunk_id(rr), rr % 2)
+
+                return m_next
+
+            jax.lax.fori_loop(0, total, loop, m0)
+        else:
+            def super_body(r, _):
+                si = order_ref[ti, r]
+                upper0 = jnp.minimum(tmax, best_t_ref[:])
+
+                @pl.when(jnp.any(_chunk_cull(phi, sbounds_ref, si, upper0)))
+                def _():
+                    base = si * g
+                    m0 = may(base, jnp.minimum(tmax, best_t_ref[:]))
+
+                    @pl.when(m0)
+                    def _():
+                        dma(base, 0).start()
+
+                    def member(j, started):
+                        upper = jnp.minimum(tmax, best_t_ref[:])
+                        m_next = (j + 1 < g) & may(base + j + 1, upper)
+
+                        @pl.when(m_next)
+                        def _():
+                            dma(base + j + 1, (j + 1) % 2).start()
+
+                        @pl.when(started)
+                        def _():
+                            dma(base + j, j % 2).wait()
+                            compute(base + j, j % 2)
+
+                        return m_next
+
+                    jax.lax.fori_loop(0, g, member, m0)
+
+                return 0
+
+            jax.lax.fori_loop(0, count_ref[ti], super_body, 0)
 
     pl.run_scoped(body,
                   scratch=pltpu.VMEM((2, 16 * len(_PACK_LEFT[splits]), rows),
@@ -558,54 +651,92 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
 def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
                          splits: int,
                          phi_ref, coeffs_hbm, tmax_ref, bounds_ref,
-                         order_ref, count_ref, hit_ref):
+                         sbounds_ref, order_ref, count_ref, hit_ref):
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
     tmax = tmax_ref[:]
     hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.bool_)
 
     ti = pl.program_id(0)
-    total = count_ref[ti] * g
     rows = 4 * chunk_t
 
-    def chunk_id(rr):
-        ci = order_ref[ti, rr // g] * g + rr % g
-        return jnp.minimum(ci, n_chunks - 1), ci < n_chunks
-
     def body(scratch, sems):
-        def dma(rr, slot):
-            ci, _ = chunk_id(rr)
+        def dma(ci, slot):
+            ci = jnp.minimum(ci, n_chunks - 1)
             return pltpu.make_async_copy(
                 coeffs_hbm.at[:, pl.ds(ci * rows, rows)],
                 scratch.at[slot], sems.at[slot])
 
-        def may(rr):
-            ci, ok = chunk_id(rr)
+        def may(ci):
+            ok = ci < n_chunks
+            ci = jnp.minimum(ci, n_chunks - 1)
             return ok & jnp.any(_chunk_cull(phi, bounds_ref, ci, tmax)
                                 & ~hit_ref[:])
 
-        m0 = (total > 0) & may(0)
+        def compute(slot):
+            valid = _scores_any(scratch[slot], phi_cat, tmax, True)
+            hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
 
-        @pl.when(m0)
-        def _():
-            dma(0, 0).start()
+        if g == 1:
+            total = count_ref[ti]
 
-        def loop(rr, started):
-            m_next = (rr + 1 < total) & may(rr + 1)
+            def chunk_id(rr):
+                return order_ref[ti, rr]
 
-            @pl.when(m_next)
+            m0 = (total > 0) & may(chunk_id(0))
+
+            @pl.when(m0)
             def _():
-                dma(rr + 1, (rr + 1) % 2).start()
+                dma(chunk_id(0), 0).start()
 
-            @pl.when(started)
-            def _():
-                dma(rr, rr % 2).wait()
-                valid = _scores_any(scratch[rr % 2], phi_cat, tmax, True)
-                hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
+            def loop(rr, started):
+                m_next = (rr + 1 < total) & may(chunk_id(rr + 1))
 
-            return m_next
+                @pl.when(m_next)
+                def _():
+                    dma(chunk_id(rr + 1), (rr + 1) % 2).start()
 
-        jax.lax.fori_loop(0, total, loop, m0)
+                @pl.when(started)
+                def _():
+                    dma(chunk_id(rr), rr % 2).wait()
+                    compute(rr % 2)
+
+                return m_next
+
+            jax.lax.fori_loop(0, total, loop, m0)
+        else:
+            def super_body(r, _):
+                si = order_ref[ti, r]
+                alive = _chunk_cull(phi, sbounds_ref, si, tmax) & ~hit_ref[:]
+
+                @pl.when(jnp.any(alive))
+                def _():
+                    base = si * g
+                    m0 = may(base)
+
+                    @pl.when(m0)
+                    def _():
+                        dma(base, 0).start()
+
+                    def member(j, started):
+                        m_next = (j + 1 < g) & may(base + j + 1)
+
+                        @pl.when(m_next)
+                        def _():
+                            dma(base + j + 1, (j + 1) % 2).start()
+
+                        @pl.when(started)
+                        def _():
+                            dma(base + j, j % 2).wait()
+                            compute(j % 2)
+
+                        return m_next
+
+                    jax.lax.fori_loop(0, g, member, m0)
+
+                return 0
+
+            jax.lax.fori_loop(0, count_ref[ti], super_body, 0)
 
     pl.run_scoped(body,
                   scratch=pltpu.VMEM((2, 16 * len(_PACK_LEFT[splits]), rows),
@@ -684,6 +815,7 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
             coeff_spec,                             # all chunk coeffs
             pl.BlockSpec((tile_n,), lambda ri: (ri,)),
             bounds_spec,                            # per-chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # superchunk AABBs (<=64)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
@@ -699,7 +831,7 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(phi, coeffs2, tmaxv, chunk_bounds, order, count)
+    )(phi, coeffs2, tmaxv, chunk_bounds, sbounds, order, count)
     return best_t[:n], best_i[:n]
 
 
@@ -739,6 +871,7 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
             coeff_spec,                             # all chunk coeffs
             pl.BlockSpec((tile_n,), lambda ri: (ri,)),
             bounds_spec,                            # per-chunk AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # superchunk AABBs (<=64)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
@@ -748,5 +881,5 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(phi, coeffs2, tmaxv, chunk_bounds, order, count)
+    )(phi, coeffs2, tmaxv, chunk_bounds, sbounds, order, count)
     return hit[:n]
