@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Knob sweep for the spectrum config's query kernels (VERDICT round-1
+item 4: SpectrumSphere 512x512/64spp >= 60 Mrays/s).
+
+Runs benchmarks/profile_bounce.py on SpectrumSphere at the pooled
+renderer's actual lane count for that config (integrator._pool_size ->
+65536) under each knob combo, in a fresh subprocess per combo (the
+knobs are read at trace time, and a fresh process guarantees no stale
+executable reuse). Prints a per-combo table of closest/anyhit/bounce
+times.
+
+Usage: python benchmarks/sweep_spectrum.py [--lanes 65536] [--combos all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+COMBOS = [
+    ("baseline", {}),
+    ("recip", {"TRACER_APPROX_RECIP": "1"}),
+    ("tile1024", {"TRACER_TILE_N": "1024"}),
+    ("tile1024+recip", {"TRACER_TILE_N": "1024", "TRACER_APPROX_RECIP": "1"}),
+    ("tile4096", {"TRACER_TILE_N": "4096"}),
+    ("chunk512", {"TRACER_CHUNK_T": "512"}),
+    ("chunk1024", {"TRACER_CHUNK_T": "1024"}),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=65536)
+    ap.add_argument("--scene", default="SpectrumSphere")
+    ap.add_argument("--combos", default="all",
+                    help="comma-separated combo names, or 'all'")
+    ap.add_argument("--timeout", type=int, default=560)
+    args = ap.parse_args()
+
+    want = None if args.combos == "all" else set(args.combos.split(","))
+    rows = []
+    for name, env in COMBOS:
+        if want is not None and name not in want:
+            continue
+        full = dict(os.environ, **env)
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(ROOT, "benchmarks", "profile_bounce.py"),
+                 args.scene, str(args.lanes)],
+                capture_output=True, text=True, timeout=args.timeout,
+                env=full)
+            out = proc.stdout
+        except subprocess.TimeoutExpired:
+            rows.append((name, "timeout"))
+            print(f"{name:16s}  TIMEOUT", flush=True)
+            continue
+        ms = dict(re.findall(r"(closest|anyhit|interact|bounce)\s+"
+                             r"([0-9.]+) ms", out))
+        if not ms:
+            rows.append((name, "error"))
+            print(f"{name:16s}  ERROR  {proc.stderr[-200:]}", flush=True)
+            continue
+        rows.append((name, ms))
+        print(f"{name:16s}  closest {ms.get('closest', '?'):>8s}  "
+              f"anyhit {ms.get('anyhit', '?'):>8s}  "
+              f"interact {ms.get('interact', '?'):>8s}  "
+              f"bounce {ms.get('bounce', '?'):>8s}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
