@@ -30,6 +30,11 @@ COMBOS = [
     ("tile4096", {"TRACER_TILE_N": "4096"}),
     ("chunk512", {"TRACER_CHUNK_T": "512"}),
     ("chunk1024", {"TRACER_CHUNK_T": "1024"}),
+    # pool-size combos only make sense end-to-end (--e2e): they change
+    # the integrator's iteration structure, not the query kernels
+    ("pool32k", {"TRACER_POOL_TARGET": "32768"}),
+    ("pool131k", {"TRACER_POOL_TARGET": "131072"}),
+    ("pool262k", {"TRACER_POOL_TARGET": "262144"}),
 ]
 
 
@@ -40,14 +45,40 @@ def main():
     ap.add_argument("--combos", default="all",
                     help="comma-separated combo names, or 'all'")
     ap.add_argument("--timeout", type=int, default=560)
+    ap.add_argument("--e2e", action="store_true",
+                    help="measure the full config-4 render (run_all's "
+                         "nonce-scan worker) instead of isolated queries")
     args = ap.parse_args()
 
+    if args.e2e:
+        sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+        import run_all
+
     want = None if args.combos == "all" else set(args.combos.split(","))
-    rows = []
     for name, env in COMBOS:
         if want is not None and name not in want:
             continue
         full = dict(os.environ, **env)
+        if args.e2e:
+            cfg = dict(run_all.CONFIGS[4])
+            code = run_all._WORKER.format(root=ROOT, cfg=cfg)
+            try:
+                proc = subprocess.run([sys.executable, "-c", code],
+                                      capture_output=True, text=True,
+                                      timeout=args.timeout, env=full)
+            except subprocess.TimeoutExpired:
+                print(f"{name:16s}  TIMEOUT", flush=True)
+                continue
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("BENCH_RESULT ")), None)
+            if line:
+                import json
+                res = json.loads(line[len("BENCH_RESULT "):])
+                print(f"{name:16s}  {res['value']:8.2f} Mrays/s  "
+                      f"img_mean {res['img_mean']}", flush=True)
+            else:
+                print(f"{name:16s}  ERROR  {proc.stderr[-200:]}", flush=True)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable,
@@ -57,16 +88,13 @@ def main():
                 env=full)
             out = proc.stdout
         except subprocess.TimeoutExpired:
-            rows.append((name, "timeout"))
             print(f"{name:16s}  TIMEOUT", flush=True)
             continue
         ms = dict(re.findall(r"(closest|anyhit|interact|bounce)\s+"
                              r"([0-9.]+) ms", out))
         if not ms:
-            rows.append((name, "error"))
             print(f"{name:16s}  ERROR  {proc.stderr[-200:]}", flush=True)
             continue
-        rows.append((name, ms))
         print(f"{name:16s}  closest {ms.get('closest', '?'):>8s}  "
               f"anyhit {ms.get('anyhit', '?'):>8s}  "
               f"interact {ms.get('interact', '?'):>8s}  "
