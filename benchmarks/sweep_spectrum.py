@@ -30,11 +30,26 @@ COMBOS = [
     ("tile4096", {"TRACER_TILE_N": "4096"}),
     ("chunk512", {"TRACER_CHUNK_T": "512"}),
     ("chunk1024", {"TRACER_CHUNK_T": "1024"}),
+    ("chunk256", {"TRACER_CHUNK_T": "256"}),
+    ("tile512", {"TRACER_TILE_N": "512"}),
     # pool-size combos only make sense end-to-end (--e2e): they change
     # the integrator's iteration structure, not the query kernels
     ("pool32k", {"TRACER_POOL_TARGET": "32768"}),
     ("pool131k", {"TRACER_POOL_TARGET": "131072"}),
     ("pool262k", {"TRACER_POOL_TARGET": "262144"}),
+    # pool x kernel-knob crosses (e2e): the best pool size may shift the
+    # best tile/chunk granularity with it
+    ("pool131k+recip", {"TRACER_POOL_TARGET": "131072",
+                        "TRACER_APPROX_RECIP": "1"}),
+    ("pool131k+tile1024", {"TRACER_POOL_TARGET": "131072",
+                           "TRACER_TILE_N": "1024"}),
+    ("pool262k+recip", {"TRACER_POOL_TARGET": "262144",
+                        "TRACER_APPROX_RECIP": "1"}),
+    ("pool262k+tile1024+recip", {"TRACER_POOL_TARGET": "262144",
+                                 "TRACER_TILE_N": "1024",
+                                 "TRACER_APPROX_RECIP": "1"}),
+    ("pool131k+chunk512", {"TRACER_POOL_TARGET": "131072",
+                           "TRACER_CHUNK_T": "512"}),
 ]
 
 
