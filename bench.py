@@ -62,6 +62,34 @@ def build_state(size):
                   cam_origin=(0.0, 0.8, 1.8))
 
 
+def _require_backend():
+    """Fail loudly instead of hanging when the device is unreachable: the
+    axon tunnel going down mid-round makes backend init block forever
+    inside make_c_api_client (no timeout at the PJRT layer), which would
+    leave the driver with a hung bench instead of a clean error. A
+    watchdog thread hard-exits (os._exit — the init thread is stuck in C)
+    if jax.devices() doesn't return within BENCH_INIT_TIMEOUT_S."""
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(f"bench: backend init did not complete within "
+                  f"{timeout_s:.0f}s (device tunnel unreachable?); "
+                  "refusing to hang", file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+
+    devices = jax.devices()
+    done.set()
+    return devices
+
+
 def _fresh_nonce():
     """Base nonce from os.urandom so repeated bench invocations never
     replay a relay-cached execution (identical inputs -> cached result)."""
@@ -87,6 +115,7 @@ def _roundtrip_seconds():
 
 def main():
     _enable_compile_cache()
+    _require_backend()
     import jax
     import jax.numpy as jnp
     from tracer_tpu.engine import integrator
