@@ -22,15 +22,14 @@ Prints exactly one JSON line:
 
 import json
 import os
-import struct
 import sys
 import time
 
 import numpy as np
 
-# One v5e chip cannot exceed ~5 Grays/s on this workload; anything above
-# is a caching/timing artifact and must not reach the driver.
-SANITY_CEILING_MRAYS = 5000.0
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from benchmarks._timing import (SANITY_CEILING_MRAYS, fresh_nonce,
+                                roundtrip_s)
 
 
 def _enable_compile_cache():
@@ -90,29 +89,6 @@ def _require_backend():
     return devices
 
 
-def _fresh_nonce():
-    """Base nonce from os.urandom so repeated bench invocations never
-    replay a relay-cached execution (identical inputs -> cached result)."""
-    return np.uint32(struct.unpack("<I", os.urandom(4))[0] | 1)
-
-
-def _roundtrip_seconds():
-    """Measured host<->device dispatch+fetch latency of a trivial op,
-    subtracted from the timed region (~30ms through the axon tunnel)."""
-    import jax
-    import jax.numpy as jnp
-
-    tiny = jax.jit(lambda x: x + 1.0)
-    x = jnp.float32(0.0)
-    np.asarray(tiny(x))  # compile + warm
-    best = float("inf")
-    for k in range(3):
-        t0 = time.perf_counter()
-        np.asarray(tiny(jnp.float32(k + 1.0)))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def main():
     _enable_compile_cache()
     _require_backend()
@@ -146,12 +122,12 @@ def main():
         return jnp.stack(carry)
 
     # compile + warmup (untimed)
-    np.asarray(chunk(s.seed, _fresh_nonce(), s.scene, s.cam, s.ambience))
-    roundtrip = _roundtrip_seconds()
+    np.asarray(chunk(s.seed, fresh_nonce(), s.scene, s.cam, s.ambience))
+    roundtrip = roundtrip_s()
 
     samples = []
     for _ in range(passes):
-        nonce0 = _fresh_nonce()
+        nonce0 = fresh_nonce()
         t0 = time.perf_counter()
         out = np.asarray(chunk(s.seed, nonce0, s.scene, s.cam, s.ambience))
         dt = time.perf_counter() - t0

@@ -17,25 +17,10 @@ estimator change, then commit the regenerated .npz files:
 import os
 import sys
 
+import numpy as np
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
-
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
-import jax  # noqa: E402
-
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
-
-import numpy as np  # noqa: E402
-
-import tracer_tpu as T  # noqa: E402
-from tracer_tpu.utils.objloader import load_obj  # noqa: E402
 
 ASSETS = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
 OUT = os.path.join(ROOT, "tests", "goldens")
@@ -55,7 +40,28 @@ GOLDENS = {
 }
 
 
+def _pin_cpu():
+    """Pin jax to the virtual CPU mesh. Called from main(), NOT at import
+    time: tests import GOLDENS/render from this module and must not have
+    their process silently re-platformed as a side effect (they pin the
+    platform themselves in conftest)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def render(name):
+    import tracer_tpu as T
+    from tracer_tpu.utils.objloader import load_obj
+
     scene, conf, size, frames, origin = GOLDENS[name]
     if scene.startswith("proc:"):
         from tracer_tpu.utils import testscenes
@@ -70,6 +76,7 @@ def render(name):
 
 
 def main():
+    _pin_cpu()
     os.makedirs(OUT, exist_ok=True)
     for name in GOLDENS:
         img = render(name)

@@ -26,13 +26,14 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
-import json, os, struct, sys, time
+import json, os, sys, time
 sys.path.insert(0, {root!r})
 import numpy as np
 import tracer_tpu as T
 from tracer_tpu.engine import integrator
 from tracer_tpu.utils.objloader import load_obj
 from tracer_tpu.ops import bvh as bvh_mod
+from benchmarks._timing import SANITY_CEILING_MRAYS, fresh_nonce, roundtrip_s
 
 cfg = {cfg!r}
 assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
@@ -40,24 +41,6 @@ tris, tm, mats = load_obj(os.path.join(assets, cfg["scene"] + ".obj"))
 s = T.init(0, cfg["size"], cfg["size"], cfg.get("conf", 0), tris, tm, mats,
            cam_origin=tuple(cfg.get("origin", (0.0, 0.8, 1.8))))
 w, h = s.sub_dims
-
-SANITY_CEILING_MRAYS = 5000.0
-
-def fresh_nonce():
-    # base nonce from os.urandom: the axon relay caches executions with
-    # identical input buffers, so repeated invocations must never replay
-    return np.uint32(struct.unpack("<I", os.urandom(4))[0] | 1)
-
-def roundtrip_s():
-    import jax, jax.numpy as jnp
-    tiny = jax.jit(lambda x: x + 1.0)
-    np.asarray(tiny(jnp.float32(0.0)))
-    best = float("inf")
-    for k in range(3):
-        t0 = time.perf_counter()
-        np.asarray(tiny(jnp.float32(k + 1.0)))
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 if cfg.get("orbit"):
     import jax, jax.numpy as jnp
@@ -83,8 +66,11 @@ if cfg.get("orbit"):
     np.asarray(st.img)
     frames = cfg["frames"]
     rt = roundtrip_s()
+    # fresh nonce so the first timed frame's input buffers differ from the
+    # warmup call's — identical inputs would replay the relay-cached
+    # execution and inflate orbit_fps by ~1/frames
+    st = s.replace(nonce=s.nonce + fresh_nonce())
     t0 = time.perf_counter()
-    st = s
     for k in range(frames):
         st = orbit_frame(st)
     np.asarray(st.img)  # true barrier: fetch depends on every frame
@@ -102,9 +88,11 @@ if cfg.get("orbit"):
                               jnp.arange(LB_REPS, dtype=jnp.int32))
         return acc
 
-    jax.block_until_ready(lb_scan(s.scene.tris, jnp.float32(1e-7)))
+    np.asarray(lb_scan(s.scene.tris, jnp.float32(1e-7)))  # compile + warm
     t1 = time.perf_counter()
-    jax.block_until_ready(lb_scan(s.scene.tris, jnp.float32(2e-7)))
+    # scalar fetch is the true barrier (block_until_ready is not, through
+    # the tunnel); input eps differs from the warmup so nothing replays
+    np.asarray(lb_scan(s.scene.tris, jnp.float32(2e-7)))
     lbvh_ms = max((time.perf_counter() - t1 - rt), 1e-9) * 1000 / LB_REPS
     out = dict(metric="orbit_fps", value=round(frames / dt, 3),
                unit="frames/s", config=cfg["name"],

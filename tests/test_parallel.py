@@ -77,13 +77,13 @@ def test_sharded_step_does_not_retrace():
     s = cornell_state(32, 32).replace(mode=jnp.asarray(True))
     mesh = par.make_mesh(8, 1)
     run1 = par._step_exec(mesh, *s.sub_dims, s.transmitter_kind,
-                          s.render_mode)
+                          s.render_mode, par._knob_key())
     s1 = par.step_sharded(s, mesh)
     s2 = par.step_sharded(s1, mesh)
     size2 = run1._cache_size()
     s3 = par.step_sharded(s2, mesh)
     run2 = par._step_exec(mesh, *s.sub_dims, s.transmitter_kind,
-                          s.render_mode)
+                          s.render_mode, par._knob_key())
     assert run1 is run2
     assert size2 <= 2
     assert run1._cache_size() == size2  # stabilized: no per-call retrace
@@ -92,7 +92,8 @@ def test_sharded_step_does_not_retrace():
     par.render_pooled_sharded(s, mesh, spp=2)
     par.render_pooled_sharded(s, mesh, spp=2)
     pe = par._pooled_exec(mesh, *s.sub_dims, s.sub_dims[1] // 8, 2,
-                          s.transmitter_kind, s.render_mode)
+                          s.transmitter_kind, s.render_mode,
+                          par._knob_key())
     assert pe._cache_size() == 1
 
 

@@ -27,6 +27,21 @@ from tracer_tpu.engine.state import EngineState
 TILE_AXIS = "tile"
 SAMPLE_AXIS = "sample"
 
+# Env knobs the integrator/kernels read at TRACE time (see docs/PARITY.md).
+# They must be part of every cached-executable key: lru_cache would
+# otherwise freeze the first call's knob values into the executable and
+# silently ignore later changes (e.g. a pool-size sweep setting
+# TRACER_POOL_TARGET between calls).
+_TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_TILE_N",
+                "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
+                "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
+                "TRACER_CHUNK_T", "TRACER_MXU_PRECISION", "TRACER_NO_PALLAS")
+
+
+def _knob_key() -> tuple:
+    import os
+    return tuple(os.environ.get(k, "") for k in _TRACE_KNOBS)
+
 
 def make_mesh(n_tile: int, n_sample: int = 1, devices=None) -> Mesh:
     """Build a (tile, sample) mesh over the first n_tile*n_sample devices."""
@@ -73,10 +88,11 @@ def sharded_frame_fn(mesh: Mesh, w: int, h: int, transmitter_kind: str,
 
 @lru_cache(maxsize=64)
 def _pooled_exec(mesh: Mesh, w: int, h: int, rows: int, spp_local: int,
-                 transmitter_kind: str, render_mode: str):
+                 transmitter_kind: str, render_mode: str, knobs: tuple):
     """Cached jitted executable for render_pooled_sharded: keyed on the
-    mesh + static shape/config so repeated multi-chip renders reuse one
-    traced/compiled program instead of retracing per call."""
+    mesh + static shape/config + trace-time env knobs so repeated
+    multi-chip renders reuse one traced/compiled program instead of
+    retracing per call (and knob changes still take effect)."""
 
     def body(seed, nonce, scene, cam, ambience):
         ti = jax.lax.axis_index(TILE_AXIS)
@@ -113,7 +129,7 @@ def render_pooled_sharded(s: EngineState, mesh: Mesh, spp: int):
     if spp % n_sample != 0:
         raise ValueError(f"spp {spp} not divisible by sample axis {n_sample}")
     run = _pooled_exec(mesh, w, h, h // n_tile, spp // n_sample,
-                       s.transmitter_kind, s.render_mode)
+                       s.transmitter_kind, s.render_mode, _knob_key())
     return run(s.seed, s.nonce, s.scene, s.cam, s.ambience)
 
 
@@ -128,13 +144,14 @@ def sample_points_sharded(s: EngineState, mesh: Mesh, spp: int):
     if h % n_tile != 0 or spp % n_sample != 0:
         raise ValueError("h/spp not divisible by mesh axes")
     run = _points_exec(mesh, w, h, h // n_tile, spp // n_sample, spp,
-                       s.transmitter_kind, s.render_mode)
+                       s.transmitter_kind, s.render_mode, _knob_key())
     return run(s.seed, s.nonce, s.scene, s.cam, s.ambience)
 
 
 @lru_cache(maxsize=64)
 def _points_exec(mesh: Mesh, w: int, h: int, rows: int, spp_local: int,
-                 spp: int, transmitter_kind: str, render_mode: str):
+                 spp: int, transmitter_kind: str, render_mode: str,
+                 knobs: tuple):
     """Cached jitted executable for sample_points_sharded."""
     from tracer_tpu.ops import linalg as la
 
@@ -170,7 +187,7 @@ def _points_exec(mesh: Mesh, w: int, h: int, rows: int, spp_local: int,
 
 @lru_cache(maxsize=64)
 def _step_exec(mesh: Mesh, w: int, h: int, transmitter_kind: str,
-               render_mode: str):
+               render_mode: str, knobs: tuple):
     """Cached jitted executable for step_sharded: repeated interactive
     multi-chip steps reuse one compiled program (no per-call retrace)."""
     frame = sharded_frame_fn(mesh, w, h, transmitter_kind, render_mode)
@@ -195,5 +212,6 @@ def step_sharded(s: EngineState, mesh: Mesh) -> EngineState:
     api.step: one sharded 1-spp frame (x sample-axis replicas), then the
     same accumulation rule as the single-chip path."""
     w, h = s.sub_dims
-    run = _step_exec(mesh, w, h, s.transmitter_kind, s.render_mode)
+    run = _step_exec(mesh, w, h, s.transmitter_kind, s.render_mode,
+                     _knob_key())
     return run(s)
