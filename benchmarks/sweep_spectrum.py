@@ -32,6 +32,18 @@ COMBOS = [
     ("chunk1024", {"TRACER_CHUNK_T": "1024"}),
     ("chunk256", {"TRACER_CHUNK_T": "256"}),
     ("tile512", {"TRACER_TILE_N": "512"}),
+    # finer culling granularity: incoherent bounce rays defeat the
+    # chunk cull at the default 256-tri chunks / 2048-lane tiles, and
+    # both knobs trade fixed overhead for cull selectivity
+    ("chunk128", {"TRACER_CHUNK_T": "128"}),
+    ("chunk64", {"TRACER_CHUNK_T": "64"}),
+    ("chunk128+recip", {"TRACER_CHUNK_T": "128",
+                        "TRACER_APPROX_RECIP": "1"}),
+    ("tile512+chunk128", {"TRACER_TILE_N": "512",
+                          "TRACER_CHUNK_T": "128"}),
+    ("tile512+recip", {"TRACER_TILE_N": "512",
+                       "TRACER_APPROX_RECIP": "1"}),
+    ("tile256", {"TRACER_TILE_N": "256"}),
     # pool-size combos only make sense end-to-end (--e2e): they change
     # the integrator's iteration structure, not the query kernels
     ("pool32k", {"TRACER_POOL_TARGET": "32768"}),

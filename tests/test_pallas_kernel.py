@@ -37,6 +37,7 @@ def test_pallas_superchunk_schedule(rng_np, monkeypatch):
     identical results to g = 1: force it by shrinking MAX_SCHED so a
     small scene spans several superchunks, including a padded one."""
     monkeypatch.setattr(pk, "MAX_SCHED", 3)  # 5 chunks -> g=2, n_super=3
+    monkeypatch.setenv("TRACER_CHUNK_T", "256")  # counts below assume 256
     tris = jnp.asarray(rng_np.uniform(-2, 2, (1100, 3, 3)).astype(np.float32))
     dense = intersect.build_dense(tris)
     assert dense.chunk_bounds.shape[0] == 5  # padded to 1280 @ chunk 256
