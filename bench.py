@@ -29,7 +29,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from benchmarks._timing import (SANITY_CEILING_MRAYS, fresh_nonce,
-                                roundtrip_s)
+                                reps_chunk, roundtrip_s)
 
 
 def _enable_compile_cache():
@@ -92,34 +92,16 @@ def _require_backend():
 def main():
     _enable_compile_cache()
     _require_backend()
-    import jax
-    import jax.numpy as jnp
-    from tracer_tpu.engine import integrator
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
     spp = int(os.environ.get("BENCH_SPP", "256"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     passes = int(os.environ.get("BENCH_PASSES", "3"))
     s = build_state(size)
-    w, h = s.sub_dims
 
-    @jax.jit
-    def chunk(seed, nonce0, scene, cam, ambience):
-        """reps back-to-back renders inside ONE executable; returns
-        (total_rays, sink) where sink depends on every rep's image."""
-        def body(carry, k):
-            rays_acc, sink = carry
-            out = integrator.render_pooled(
-                seed, nonce0 + k * np.uint32(spp), scene, cam, ambience,
-                w, h, s.transmitter_kind, spp, s.render_mode)
-            rays_acc = rays_acc + out["rays_traced"].astype(jnp.float32)
-            sink = sink + jnp.sum(out["img"][0, 0])
-            return (rays_acc, sink), None
-
-        carry, _ = jax.lax.scan(
-            body, (jnp.float32(0.0), jnp.float32(0.0)),
-            jnp.arange(reps, dtype=jnp.uint32))
-        return jnp.stack(carry)
+    # reps renders inside ONE executable, scalar-fetch barrier — the
+    # shared axon-safe timing chunk (benchmarks/_timing.reps_chunk)
+    chunk = reps_chunk(s, spp, reps)
 
     # compile + warmup (untimed)
     np.asarray(chunk(s.seed, fresh_nonce(), s.scene, s.cam, s.ambience))

@@ -27,6 +27,41 @@ def fresh_nonce() -> np.uint32:
     return np.uint32(struct.unpack("<I", os.urandom(4))[0] | 1)
 
 
+def reps_chunk(state, spp: int, reps: int):
+    """The timed executable both bench entry points share: `reps`
+    back-to-back pooled renders inside ONE jit (lax.scan) with per-rep
+    nonce perturbation, returning jnp.stack([total_rays, img_mean_sum])
+    — scalars that depend on every rep's image, so fetching them to host
+    is a true barrier and no rep can be served from the relay's
+    identical-input execution cache.
+
+    Call as chunk(seed, nonce0, scene, cam, ambience); divide element 1
+    by reps for the mean image value (a cheap render-sanity readout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracer_tpu.engine import integrator
+
+    w, h = state.sub_dims
+
+    @jax.jit
+    def chunk(seed, nonce0, scene, cam, ambience):
+        def body(carry, k):
+            rays_acc, sink = carry
+            out = integrator.render_pooled(
+                seed, nonce0 + k * np.uint32(spp), scene, cam, ambience,
+                w, h, state.transmitter_kind, spp, state.render_mode)
+            return (rays_acc + out["rays_traced"].astype(jnp.float32),
+                    sink + jnp.mean(out["img"])), None
+
+        carry, _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)),
+            jnp.arange(reps, dtype=jnp.uint32))
+        return jnp.stack(carry)
+
+    return chunk
+
+
 def roundtrip_s() -> float:
     """Measured host<->device dispatch+fetch latency of a trivial op,
     subtracted from timed regions (~30ms through the axon tunnel)."""

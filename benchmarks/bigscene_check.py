@@ -108,10 +108,24 @@ def main():
     o, d = make_rays(tris, args.rays, rng)
     tmax = jnp.full((args.rays,), 1e30, jnp.float32)
 
-    # production path (Pallas on TPU; falls back to XLA+packed on CPU)
-    ok_p, t_p, idx_p, _, _, aux_p = jax.block_until_ready(
-        intersect.closest_hit(dense, tmax, o, d))
-    hit_p = jax.block_until_ready(intersect.any_hit(dense, tmax, o, d))
+    # production path (Pallas on TPU). On CPU neither the kernel nor the
+    # packed scores are on by default — both legs would run the identical
+    # exact XLA formulation and every assertion would pass vacuously — so
+    # force the packed multi-word score math (the precision surface under
+    # test) for the production leg there.
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        os.environ["TRACER_MXU_PRECISION"] = "packed"
+        from tracer_tpu.ops.pallas.intersect_kernel import _mxu_splits
+        print("CPU backend: production leg = XLA + packed scores "
+              f"(x{3 * (_mxu_splits(dense.coeffs.shape[1]) - 1)})")
+    try:
+        ok_p, t_p, idx_p, _, _, aux_p = jax.block_until_ready(
+            intersect.closest_hit(dense, tmax, o, d))
+        hit_p = jax.block_until_ready(intersect.any_hit(dense, tmax, o, d))
+    finally:
+        if not on_tpu:
+            del os.environ["TRACER_MXU_PRECISION"]
 
     # oracle: exact XLA scan formulation
     os.environ["TRACER_NO_PALLAS"] = "1"

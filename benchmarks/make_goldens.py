@@ -41,21 +41,14 @@ GOLDENS = {
 
 
 def _pin_cpu():
-    """Pin jax to the virtual CPU mesh. Called from main(), NOT at import
-    time: tests import GOLDENS/render from this module and must not have
-    their process silently re-platformed as a side effect (they pin the
-    platform themselves in conftest)."""
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
+    """Pin jax to the virtual CPU mesh (shared helper, repo-root
+    _cpu_pin.py). Called from main(), NOT at import time: tests import
+    GOLDENS/render from this module and must not have their process
+    silently re-platformed as a side effect (they pin the platform
+    themselves in conftest)."""
+    import _cpu_pin
 
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    _cpu_pin.force_cpu(8)
 
 
 def render(name):

@@ -30,10 +30,10 @@ import json, os, sys, time
 sys.path.insert(0, {root!r})
 import numpy as np
 import tracer_tpu as T
-from tracer_tpu.engine import integrator
 from tracer_tpu.utils.objloader import load_obj
 from tracer_tpu.ops import bvh as bvh_mod
-from benchmarks._timing import SANITY_CEILING_MRAYS, fresh_nonce, roundtrip_s
+from benchmarks._timing import (SANITY_CEILING_MRAYS, fresh_nonce,
+                                reps_chunk, roundtrip_s)
 
 cfg = {cfg!r}
 assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
@@ -98,24 +98,11 @@ if cfg.get("orbit"):
                unit="frames/s", config=cfg["name"],
                lbvh_build_ms=round(lbvh_ms, 1))
 else:
-    import jax, jax.numpy as jnp
     spp = cfg["spp"]
     reps = cfg.get("reps", 3)
-    @jax.jit
-    def chunk(seed, nonce0, scene, cam, ambience):
-        # reps renders inside ONE executable (lax.scan) with per-rep
-        # nonce perturbation; returns scalars that depend on every rep.
-        def body(carry, k):
-            rays_acc, sink = carry
-            out = integrator.render_pooled(
-                seed, nonce0 + k * np.uint32(spp), scene, cam, ambience,
-                w, h, s.transmitter_kind, spp, s.render_mode)
-            return (rays_acc + out["rays_traced"].astype(jnp.float32),
-                    sink + jnp.mean(out["img"])), None
-        carry, _ = jax.lax.scan(
-            body, (jnp.float32(0.0), jnp.float32(0.0)),
-            jnp.arange(reps, dtype=jnp.uint32))
-        return jnp.stack(carry)
+    # reps renders inside ONE executable, scalar-fetch barrier — the
+    # shared axon-safe timing chunk (benchmarks/_timing.reps_chunk)
+    chunk = reps_chunk(s, spp, reps)
     np.asarray(chunk(s.seed, fresh_nonce(), s.scene, s.cam, s.ambience))
     rt = roundtrip_s()
     t0 = time.perf_counter()

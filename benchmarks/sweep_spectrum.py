@@ -85,6 +85,14 @@ def main():
     for name, env in COMBOS:
         if want is not None and name not in want:
             continue
+        if "TRACER_POOL_TARGET" in env and not args.e2e and want is None:
+            # pool size only affects the integrator's iteration structure;
+            # profile_bounce never reads it, so in the default query-level
+            # sweep these rows would just re-measure their pool-less twin
+            # under a misleading label (and burn TPU minutes doing it).
+            print(f"{name:16s}  SKIPPED (pool combos need --e2e)",
+                  flush=True)
+            continue
         full = dict(os.environ, **env)
         if args.e2e:
             cfg = dict(run_all.CONFIGS[4])

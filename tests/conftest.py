@@ -11,19 +11,15 @@ APIs that create backends.
 """
 
 import os
+import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import _cpu_pin  # noqa: E402  (repo root — the shared pinning helper)
+
+_cpu_pin.force_cpu(8)
 
 import jax  # noqa: E402
-
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -37,6 +37,27 @@ def test_checkpoint_rejects_mismatched_template(tmp_path):
         pass
 
 
+def test_checkpoint_refuses_malicious_treedef(tmp_path):
+    """load() must not execute arbitrary pickle payloads: the stored
+    treedef goes through a restricted unpickler that only admits the jax
+    pytree machinery and tracer_tpu struct classes."""
+    import json
+    import pickle
+    import pytest
+
+    p = str(tmp_path / "evil.npz")
+    static = {"version": 2, "width": 8, "height": 8, "subsampling": 1,
+              "render_mode": "color", "transmitter_kind": "point",
+              "cam_conf_id": 0}
+    payload = pickle.dumps(eval, protocol=2)  # any non-allowlisted global
+    np.savez_compressed(
+        p,
+        __static__=np.frombuffer(json.dumps(static).encode(), dtype=np.uint8),
+        __treedef__=np.frombuffer(payload, dtype=np.uint8))
+    with pytest.raises(pickle.UnpicklingError, match="disallowed"):
+        checkpoint.load(p)
+
+
 def test_phase_timer():
     t = profiling.PhaseTimer()
     x = jnp.arange(8.0)

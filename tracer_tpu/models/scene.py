@@ -171,8 +171,13 @@ def pack_light_table(lights: lights_mod.Lights) -> jax.Array:
 
 def closest_hit(scene: Scene, tmax, origin, d):
     """Dispatch to the active acceleration structure. Rays are V3 (3,N);
-    returns (ok, t, tri_idx, pos (3,N), normal (3,N)) with tri_idx in
-    input triangle order."""
+    returns (ok, t, tri_idx, pos (3,N), normal (3,N)).
+
+    tri_idx is in the accel's STORAGE order: morton order for the dense
+    intersector (map through scene.accel.perm to recover input order —
+    the hot path never needs to, per-triangle data rides the coeffs' aux
+    column instead), input order for the LBVH (its leaves store input
+    ids)."""
     if isinstance(scene.accel, intersect.DenseTris):
         return intersect.closest_hit(scene.accel, tmax, origin, d)[:5]
     n = jnp.broadcast_shapes(origin.shape, d.shape)[1]

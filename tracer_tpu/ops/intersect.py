@@ -180,20 +180,26 @@ def _use_packed_bf16() -> bool:
         return False
 
 
-def _score_matmul(rows, phi_t):
+def _score_matmul(rows, phi_t, t_pad: int):
     """rows (R, 10) f32 @ phi_t (10, N) f32 -> (R, N) f32.
 
-    On TPU: bf16x3 via K-packing —  [rh | rh | rl] @ [ph; plo; ph]  in
-    one K=30 MXU pass (see pallas/intersect_kernel._scores for the
-    precision analysis). Elsewhere: one exact HIGHEST-precision product.
+    On TPU: K-packed multi-word bf16, same word count as the Pallas
+    kernel picks for this scene size (pallas/intersect_kernel._mxu_splits
+    — bf16x3/K=30 for stock scenes, x6/K=60 f32-exact above 32k padded
+    tris, where bf16x3's cancellation loses shared-edge hits; TRACER_MXU_PACK
+    forces either). Elsewhere: one exact HIGHEST-precision product.
+    t_pad is the PADDED TRIANGLE COUNT of the whole scene (the precision
+    gate's key), not this chunk's row count.
     """
     if _use_packed_bf16():
-        from tracer_tpu.ops.pallas.intersect_kernel import _split_bf16
-        rh, rl = _split_bf16(rows)
-        ph, plo = _split_bf16(phi_t)
+        from tracer_tpu.ops.pallas.intersect_kernel import (
+            _PACK_LEFT, _PACK_RIGHT, _mxu_splits, _split_words)
+        splits = _mxu_splits(t_pad)
+        rw = _split_words(rows, splits)
+        pw = _split_words(phi_t, splits)
         return jax.lax.dot_general(
-            jnp.concatenate([rh, rh, rl], axis=-1),
-            jnp.concatenate([ph, plo, ph], axis=0),
+            jnp.concatenate([rw[i] for i in _PACK_LEFT[splits]], axis=-1),
+            jnp.concatenate([pw[i] for i in _PACK_RIGHT[splits]], axis=0),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return jax.lax.dot_general(
@@ -201,13 +207,13 @@ def _score_matmul(rows, phi_t):
         precision=jax.lax.Precision.HIGHEST)
 
 
-def _chunk_scores_t(phi_t, coeffs_chunk, tmax):
+def _chunk_scores_t(phi_t, coeffs_chunk, tmax, t_pad: int):
     """Rays vs one chunk: coeffs_chunk (4, C, 10), phi_t (10, N).
 
     Returns (valid (C, N) bool, t (C, N) f32, +inf on invalid lanes).
     """
     c = coeffs_chunk.shape[1]
-    p = _score_matmul(coeffs_chunk.reshape(4 * c, 10), phi_t)  # (4C, N)
+    p = _score_matmul(coeffs_chunk.reshape(4 * c, 10), phi_t, t_pad)  # (4C, N)
     a, nt, nu, nv = p[:c], p[c:2 * c], p[2 * c:3 * c], p[3 * c:]
     nondeg = jnp.abs(a) >= shapes.TRI_EPS
     inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
@@ -283,7 +289,7 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
     tmax = jnp.asarray(tmax, jnp.float32)
 
     if n_chunks == 1:
-        valid, t = _chunk_scores_t(phi_t, dense.coeffs, tmax)
+        valid, t = _chunk_scores_t(phi_t, dense.coeffs, tmax, t_pad)
         best_i = jnp.argmin(t, axis=0).astype(jnp.int32)
         best_t = jnp.min(t, axis=0)
     else:
@@ -294,7 +300,7 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
         def body(carry, inp):
             best_t, best_i = carry
             c_idx, coeffs_chunk = inp
-            _, t = _chunk_scores_t(phi_t, coeffs_chunk, tmax)
+            _, t = _chunk_scores_t(phi_t, coeffs_chunk, tmax, t_pad)
             loc_i = jnp.argmin(t, axis=0).astype(jnp.int32)
             loc_t = jnp.min(t, axis=0)
             better = loc_t < best_t
@@ -335,7 +341,7 @@ def any_hit(dense: DenseTris, tmax, origin, d,
     n_chunks = -(-t_pad // chunk)
     tmax = jnp.asarray(tmax, jnp.float32)
     if n_chunks == 1:
-        valid, _ = _chunk_scores_t(phi_t, dense.coeffs, tmax)
+        valid, _ = _chunk_scores_t(phi_t, dense.coeffs, tmax, t_pad)
         return jnp.any(valid, axis=0)
 
     pad = n_chunks * chunk - t_pad
@@ -343,7 +349,7 @@ def any_hit(dense: DenseTris, tmax, origin, d,
     coeffs = coeffs.reshape(4, n_chunks, chunk, 10).transpose(1, 0, 2, 3)
 
     def body(hit, coeffs_chunk):
-        valid, _ = _chunk_scores_t(phi_t, coeffs_chunk, tmax)
+        valid, _ = _chunk_scores_t(phi_t, coeffs_chunk, tmax, t_pad)
         return hit | jnp.any(valid, axis=0), None
 
     hit, _ = jax.lax.scan(body, jnp.zeros((phi_t.shape[1],), bool), coeffs)

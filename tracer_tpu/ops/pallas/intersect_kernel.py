@@ -831,7 +831,10 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(phi, coeffs2, tmaxv, chunk_bounds, sbounds, order, count)
+        # at g == 1 the kernel's flat walk never reads sbounds_ref, so
+        # ship a 1-entry stub instead of a full duplicate of chunk_bounds
+    )(phi, coeffs2, tmaxv, chunk_bounds,
+      sbounds[:1] if g == 1 else sbounds, order, count)
     return best_t[:n], best_i[:n]
 
 
@@ -881,5 +884,7 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(phi, coeffs2, tmaxv, chunk_bounds, sbounds, order, count)
+        # g == 1: 1-entry stub, see closest_hit_pallas
+    )(phi, coeffs2, tmaxv, chunk_bounds,
+      sbounds[:1] if g == 1 else sbounds, order, count)
     return hit[:n]

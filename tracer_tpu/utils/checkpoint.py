@@ -13,6 +13,7 @@ a fresh process with no template state and no re-init of the scene.
 
 from __future__ import annotations
 
+import io
 import json
 import pickle
 
@@ -21,6 +22,31 @@ import jax
 import jax.numpy as jnp
 
 from tracer_tpu.engine.state import EngineState
+
+
+class _TreedefUnpickler(pickle.Unpickler):
+    """Restricted unpickler for the stored treedef: a PyTreeDef pickle
+    only references the jax pytree machinery and this package's struct
+    classes (verified with pickletools), so everything else — i.e. the
+    arbitrary-code-execution surface of a stock ``pickle.loads`` on an
+    untrusted checkpoint file — is refused."""
+
+    _JAX_NAMES = {"PyTreeDef", "default_registry"}
+
+    def find_class(self, module: str, name: str):
+        if module.startswith("tracer_tpu."):
+            return super().find_class(module, name)
+        if (name in self._JAX_NAMES
+                and (module.startswith("jax.") or module.startswith("jax._src")
+                     or module.startswith("jaxlib"))):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"checkpoint treedef references disallowed global "
+            f"{module}.{name}")
+
+
+def _loads_treedef(b: bytes):
+    return _TreedefUnpickler(io.BytesIO(b)).load()
 
 # v1: leaves only, load() required a template for the treedef.
 # v2: + pickled treedef -> standalone restore.
@@ -64,7 +90,7 @@ def load(path: str, template: EngineState | None = None) -> EngineState:
         raise ValueError(f"unsupported checkpoint version {static}")
 
     if "__treedef__" in data:
-        treedef = pickle.loads(bytes(data["__treedef__"]))
+        treedef = _loads_treedef(bytes(data["__treedef__"]))
     elif template is not None:
         treedef = jax.tree.flatten(template)[1]
     else:
