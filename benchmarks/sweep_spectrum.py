@@ -73,8 +73,11 @@ def main():
                     help="comma-separated combo names, or 'all'")
     ap.add_argument("--timeout", type=int, default=560)
     ap.add_argument("--e2e", action="store_true",
-                    help="measure the full config-4 render (run_all's "
+                    help="measure a full config render (run_all's "
                          "nonce-scan worker) instead of isolated queries")
+    ap.add_argument("--config", type=int, default=4,
+                    help="run_all config id for --e2e (default 4: the "
+                         "spectrum config this sweep was built for)")
     args = ap.parse_args()
 
     if args.e2e:
@@ -95,7 +98,7 @@ def main():
             continue
         full = dict(os.environ, **env)
         if args.e2e:
-            cfg = dict(run_all.CONFIGS[4])
+            cfg = dict(run_all.CONFIGS[args.config])
             code = run_all._WORKER.format(root=ROOT, cfg=cfg)
             try:
                 proc = subprocess.run([sys.executable, "-c", code],
