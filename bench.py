@@ -89,8 +89,40 @@ def _require_backend():
     return devices
 
 
+def _arm_deadline():
+    """Whole-run deadline: backend init has its own watchdog, but the
+    tunnel can also die mid-compile (remote compiles of changed code take
+    minutes) or mid-execution, leaving the process stuck in C with no
+    Python-level recourse. A daemon thread hard-exits after
+    BENCH_TOTAL_TIMEOUT_S so the driver gets rc 4 instead of a hang;
+    normal completion just lets the process exit first."""
+    import threading
+
+    total_s = float(os.environ.get("BENCH_TOTAL_TIMEOUT_S", "3000"))
+    if total_s <= 0:
+        return
+
+    def watchdog():
+        time.sleep(total_s)
+        print(f"bench: did not complete within {total_s:.0f}s (device "
+              "tunnel stalled mid-compile/run?); refusing to hang",
+              file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(4)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # honor an explicit CPU request: the environment's sitecustomize
+        # pins jax_platforms to the tunneled TPU via jax.config, which
+        # overrides the env var — _cpu_pin re-pins before any backend
+        # materializes (same dance as tests/conftest.py)
+        import _cpu_pin
+        _cpu_pin.force_cpu(1)
     _enable_compile_cache()
+    _arm_deadline()
     _require_backend()
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
