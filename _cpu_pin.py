@@ -17,6 +17,19 @@ the package could never run early enough for its own importers.
 import os
 
 
+def maybe_force_from_env(n_devices: int = 1) -> bool:
+    """Honor an explicit JAX_PLATFORMS=cpu request in a CLI tool.
+
+    The env var alone is NOT enough here (sitecustomize re-pins
+    jax_platforms via jax.config at interpreter start), so every CLI
+    entry point that documents "CPU when forced" calls this before any
+    jax API materializes a backend. Returns True when CPU was forced."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        force_cpu(n_devices)
+        return True
+    return False
+
+
 def force_cpu(n_devices: int = 8) -> None:
     """Pin jax to >= n_devices virtual CPU devices.
 

@@ -114,13 +114,8 @@ def _arm_deadline():
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        # honor an explicit CPU request: the environment's sitecustomize
-        # pins jax_platforms to the tunneled TPU via jax.config, which
-        # overrides the env var — _cpu_pin re-pins before any backend
-        # materializes (same dance as tests/conftest.py)
-        import _cpu_pin
-        _cpu_pin.force_cpu(1)
+    import _cpu_pin
+    _cpu_pin.maybe_force_from_env()  # JAX_PLATFORMS=cpu actually forces CPU
     _enable_compile_cache()
     _arm_deadline()
     _require_backend()

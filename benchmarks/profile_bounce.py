@@ -18,6 +18,10 @@ import time
 os.environ.setdefault("TRACER_COMPILE_CACHE", "/tmp/tracer_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import _cpu_pin
+
+_cpu_pin.maybe_force_from_env()  # JAX_PLATFORMS=cpu actually forces CPU
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -17,6 +17,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import _cpu_pin
+
+_cpu_pin.maybe_force_from_env()  # JAX_PLATFORMS=cpu actually forces CPU
+
 import numpy as np
 
 os.environ.setdefault("TRACER_COMPILE_CACHE", "/tmp/tracer_jax_cache")
