@@ -79,6 +79,22 @@ def test_schedule_axis_parallel_ray_on_bound_plane():
     assert int(count[0]) == 1  # NaN would have dropped it
 
 
+def test_member_chunk_cull_axis_parallel_on_plane():
+    """Same NaN hazard as the scheduler test, one level down: the
+    in-kernel member-chunk slab test (_chunk_cull) must treat
+    d[k] == 0 with origin exactly on a bound plane as pass, so the
+    kernel's cull stays a strict superset of the exact test (the XLA
+    oracle has no AABB cull at all)."""
+    bounds = jnp.asarray([[0.0, -1.0, -5.0, 1.0, 1.0, 5.0, 0.0, 0.0]])
+    o = jnp.asarray([[0.0], [0.0], [4.0]], jnp.float32)
+    d = jnp.asarray([[0.0], [0.0], [-1.0]], jnp.float32)
+    phi = intersect.ray_features_t(o, d)
+    phi = jnp.pad(phi, ((0, 6), (0, pk.TILE_N - 1)))
+    upper = jnp.full((pk.TILE_N,), 1e30, jnp.float32)
+    may = pk._chunk_cull(phi, bounds, 0, upper)
+    assert bool(may[0])  # 0 * inf = NaN would have culled the lane
+
+
 def test_pallas_lane_major_layout(rng_np, monkeypatch):
     """The big-scene lane-major (48, rows) coefficient layout (forced
     via TRACER_COEFF_LAYOUT) matches the default sublane-major one."""
