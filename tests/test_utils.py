@@ -1,5 +1,7 @@
 """Aux subsystems: checkpoint/resume, profiling, PNG writer."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,3 +92,63 @@ def test_argb_roundtrip():
     rgb = argb_to_rgb(fb)
     assert rgb[0, 0].tolist() == [0x11, 0x22, 0x33]
     assert rgb[0, 1].tolist() == [0x44, 0x55, 0x66]
+
+
+def test_aot_step_roundtrip(tmp_path):
+    """jax.export artifact (the reference's generated-kernel-library
+    analog, SURVEY §2.2): a serialized step executes bitwise-identically
+    to the live jit, reloaded from disk, and is reusable across calls."""
+    import jax
+
+    from tracer_tpu.engine.api import _step_core
+    from tracer_tpu.utils import aot
+
+    s = small_state()
+    p = str(tmp_path / "step.stablehlo")
+    aot.save_step(s, p)
+    call = aot.load_step(p)
+
+    direct = jax.jit(_step_core)(s)
+    out = call(s)
+    assert type(out).__name__ == "EngineState"
+    np.testing.assert_array_equal(np.asarray(out.img),
+                                  np.asarray(direct.img))
+    assert int(out.n_frames) == int(direct.n_frames)
+    # same executable, new inputs (progressive accumulation continues)
+    out2 = call(direct)
+    direct2 = jax.jit(_step_core)(direct)
+    np.testing.assert_array_equal(np.asarray(out2.img),
+                                  np.asarray(direct2.img))
+
+
+def test_aot_standalone_process(tmp_path):
+    """Checkpoint + artifact together are shippable: a fresh process that
+    never assembles a scene (no OBJ load, no accel build, no retrace)
+    restores the state standalone and runs the exported step."""
+    import subprocess
+    import sys as _sys
+
+    s = T.step(small_state())
+    ck = str(tmp_path / "state.npz")
+    art = str(tmp_path / "step.stablehlo")
+    checkpoint.save(ck, s)
+    from tracer_tpu.utils import aot
+    aot.save_step(s, art)
+    expect = float(np.asarray(T.step(s).img).mean())
+
+    child = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import _cpu_pin; _cpu_pin.force_cpu(1)
+import numpy as np
+from tracer_tpu.utils import aot, checkpoint
+state = checkpoint.load({ck!r})          # standalone: no template
+call = aot.load_step({art!r})
+out = call(state)
+print("MEAN", float(np.asarray(out.img).mean()))
+"""
+    proc = subprocess.run([_sys.executable, "-c", child],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    mean = float(proc.stdout.split("MEAN ")[1].split()[0])
+    assert mean == expect, (mean, expect)
