@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Predict the spectrum-config kernel-knob sweep on CPU.
+
+The Pallas intersector's cost on an incoherent pool is dominated by how
+many (tile, chunk) MXU passes survive the schedule + in-kernel culls,
+and the schedule/cull code (_tile_chunk_order, _chunk_cull) is pure XLA
+math — it computes identically on CPU. So instead of burning TPU time
+searching the TRACER_TILE_N x TRACER_CHUNK_T grid blind, this tool:
+
+  capture: runs a small SpectrumSphere pooled render on CPU under
+    jax.disable_jit() with the scene-level query functions wrapped by a
+    recorder, dumping every closest/anyhit ray population (the REAL mix
+    of primary + bounce + shadow rays the pooled loop produces,
+    including its occupancy/refill structure) to an .npz.
+  analyze: for each knob combo, rebuilds the chunked accel at that
+    TRACER_CHUNK_T, replays every recorded population through the
+    actual scheduler, and models the kernel's member-chunk cull
+    (numpy mirror of _chunk_cull at upper = tmax) to count surviving
+    MXU passes. Reports per-combo MXU element-work + visit overheads.
+
+Caveat: the model culls at upper = tmax (no best-t tightening), so it
+UNDERSTATES the win of finer granularity (the real kernel's near-to-far
+best-t early-out favors small chunks/tiles even more) and ignores
+per-tile fixed overheads (which favor large tiles). It ranks the
+MXU-work component exactly; the TPU sweep confirms the overhead tradeoff.
+
+Usage:
+  JAX_PLATFORMS=cpu python benchmarks/schedule_stats.py capture \
+      [--size 128] [--spp 4] [--out /tmp/sched_pop.npz]
+  JAX_PLATFORMS=cpu python benchmarks/schedule_stats.py analyze \
+      [--pop /tmp/sched_pop.npz] [--every 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import _cpu_pin
+
+_cpu_pin.force_cpu(1)
+
+import numpy as np
+
+
+def _load_scene():
+    from tracer_tpu.utils.objloader import load_obj
+
+    assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
+    return load_obj(os.path.join(assets, "SpectrumSphere.obj"))
+
+
+def capture(args):
+    import jax
+
+    import tracer_tpu as T
+    from tracer_tpu.engine import integrator
+    from tracer_tpu.ops import intersect
+
+    tris, tm, mats = _load_scene()
+    s = T.init(0, args.size, args.size, 0, tris, tm, mats,
+               cam_origin=(0.0, 0.8, 1.8))
+    w, h = s.sub_dims
+
+    pops = []  # (kind, o (3,N), d (3,N), tmax (N,))
+
+    orig_closest, orig_any = intersect.closest_hit, intersect.any_hit
+
+    def rec_closest(dense, tmax, origin, d, **kw):
+        tm_ = np.broadcast_to(np.asarray(tmax, np.float32),
+                              (np.asarray(d).shape[1],))
+        pops.append(("closest", np.asarray(origin), np.asarray(d),
+                     np.array(tm_)))
+        return orig_closest(dense, tmax, origin, d, **kw)
+
+    def rec_any(dense, tmax, origin, d, **kw):
+        tm_ = np.broadcast_to(np.asarray(tmax, np.float32),
+                              (np.asarray(d).shape[1],))
+        pops.append(("anyhit", np.asarray(origin), np.asarray(d),
+                     np.array(tm_)))
+        return orig_any(dense, tmax, origin, d, **kw)
+
+    intersect.closest_hit, intersect.any_hit = rec_closest, rec_any
+    try:
+        with jax.disable_jit():
+            out = integrator.render_pooled(
+                s.seed, s.nonce, s.scene, s.cam, s.ambience,
+                w, h, s.transmitter_kind, args.spp, s.render_mode)
+        img_mean = float(np.asarray(out["img"]).mean())
+    finally:
+        intersect.closest_hit, intersect.any_hit = orig_closest, orig_any
+
+    np.savez_compressed(
+        args.out,
+        tris=np.asarray(tris, np.float32),
+        img_mean=np.float32(img_mean),
+        n=np.int32(len(pops)),
+        kinds=np.array([p[0] for p in pops]),
+        **{f"o{i}": p[1] for i, p in enumerate(pops)},
+        **{f"d{i}": p[2] for i, p in enumerate(pops)},
+        **{f"t{i}": p[3] for i, p in enumerate(pops)})
+    print(f"captured {len(pops)} query populations "
+          f"({sum(p[1].shape[1] for p in pops)/1e6:.1f}M rays total), "
+          f"img_mean={img_mean:.4f} -> {args.out}")
+
+
+# ---------------------------------------------------------------- analyze
+
+def _slab_any_per_tile(bounds, o, d, tmax, tile_n):
+    """Numpy mirror of intersect_kernel._chunk_cull (upper = tmax),
+    reduced to per-tile any-lane: bounds (K, 8), o/d (3, N), tmax (N,)
+    -> (K, n_tiles) bool."""
+    n = o.shape[1]
+    tmin = np.zeros((bounds.shape[0], n), np.float32)
+    tmx = np.broadcast_to(tmax[None], tmin.shape).copy()
+    from tracer_tpu.ops import shapes
+    eps = float(shapes.AABB_EPS)
+    for k in range(3):
+        par = d[k] == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / np.where(par, 1.0, d[k])
+            t0 = (bounds[:, k, None] - o[k][None]) * inv
+            t1 = (bounds[:, 3 + k, None] - o[k][None]) * inv
+        lo = np.where(par[None], 0.0, np.minimum(t0, t1))
+        hi = np.where(par[None], tmax[None], np.maximum(t0, t1) * (1.0 + eps))
+        tmin = np.maximum(tmin, lo)
+        tmx = np.minimum(tmx, hi)
+    ok = tmx > tmin
+    # fully-padded chunks carry inverted inf boxes -> never pass
+    empty = bounds[:, 0] > bounds[:, 3]
+    ok[empty] = False
+    return ok.reshape(bounds.shape[0], -1, tile_n).any(axis=2)
+
+
+COMBOS = [(ct, tn) for ct in (64, 128, 256, 512)
+          for tn in (256, 512, 1024, 2048)]
+
+
+def analyze(args):
+    import jax.numpy as jnp
+
+    from tracer_tpu.ops import intersect
+    from tracer_tpu.ops.pallas import intersect_kernel as pk
+
+    data = np.load(args.pop, allow_pickle=False)
+    tris = jnp.asarray(data["tris"])
+    n_pops = int(data["n"])
+    kinds = data["kinds"]
+    idxs = list(range(0, n_pops, args.every))
+
+    print(f"{n_pops} populations, analyzing {len(idxs)} "
+          f"(every {args.every}); combos: chunk_t x tile_n")
+    header = (f"{'combo':>16} {'g':>2} {'sched/tile':>10} "
+              f"{'member-pass%':>12} {'MXU Gelem':>10} {'visits(k)':>10}")
+    print(header)
+
+    for chunk_t, tile_n in COMBOS:
+        os.environ["TRACER_CHUNK_T"] = str(chunk_t)
+        try:
+            dense = intersect.build_dense(tris)
+        finally:
+            del os.environ["TRACER_CHUNK_T"]
+        bounds = np.asarray(dense.chunk_bounds)
+        n_chunks = bounds.shape[0]
+        g = -(-n_chunks // pk.MAX_SCHED)
+        sb = (dense.chunk_bounds if g == 1
+              else pk._superchunk_bounds(dense.chunk_bounds, g))
+        sbounds = np.asarray(sb)
+        n_super = sbounds.shape[0]
+
+        tot_sched = tot_tiles = tot_members = tot_passes = 0
+        mxu_elems = 0.0
+        for i in idxs:
+            o, d, tmax = data[f"o{i}"], data[f"d{i}"], data[f"t{i}"]
+            n = o.shape[1]
+            pad = (-n) % tile_n
+            if pad:  # edge-replicate so padding doesn't skew stats
+                o = np.concatenate([o, np.repeat(o[:, -1:], pad, 1)], 1)
+                d = np.concatenate([d, np.repeat(d[:, -1:], pad, 1)], 1)
+                tmax = np.concatenate([tmax, np.repeat(tmax[-1:], pad)])
+            n_tiles = o.shape[1] // tile_n
+
+            # scheduler (the real one), superchunk granularity
+            phi = np.asarray(intersect.ray_features_t(
+                jnp.asarray(o), jnp.asarray(d)))
+            phi16 = np.pad(phi, ((0, 6), (0, 0)))
+            order, count = pk._tile_chunk_order(
+                jnp.asarray(phi16), jnp.asarray(tmax), jnp.asarray(sb),
+                n_tiles, tile_n)
+            order, count = np.asarray(order), np.asarray(count)
+
+            # member-chunk culls at upper = tmax for every (chunk, tile)
+            mem_pass = _slab_any_per_tile(bounds, o, d, tmax, tile_n)
+
+            sched = np.zeros((n_super, n_tiles), bool)
+            for ti in range(n_tiles):
+                sched[order[ti, :count[ti]], ti] = True
+            # members of scheduled supers that pass their own cull
+            sched_mem = np.repeat(sched, g, axis=0)[:n_chunks]
+            passes = sched_mem & mem_pass
+
+            tot_sched += int(count.sum())
+            tot_tiles += n_tiles
+            tot_members += int(sched_mem.sum())
+            tot_passes += int(passes.sum())
+            mxu_elems += float(passes.sum()) * chunk_t * tile_n
+
+        name = f"c{chunk_t}/t{tile_n}"
+        print(f"{name:>16} {g:>2} {tot_sched / max(tot_tiles, 1):>10.1f} "
+              f"{100.0 * tot_passes / max(tot_members, 1):>11.1f}% "
+              f"{mxu_elems / 1e9:>10.2f} {tot_passes / 1e3:>10.1f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("capture")
+    c.add_argument("--size", type=int, default=128)
+    c.add_argument("--spp", type=int, default=4)
+    c.add_argument("--out", default="/tmp/sched_pop.npz")
+    a = sub.add_parser("analyze")
+    a.add_argument("--pop", default="/tmp/sched_pop.npz")
+    a.add_argument("--every", type=int, default=2)
+    args = ap.parse_args()
+    capture(args) if args.cmd == "capture" else analyze(args)
+
+
+if __name__ == "__main__":
+    main()

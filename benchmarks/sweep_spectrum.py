@@ -39,8 +39,24 @@ COMBOS = [
     ("chunk64", {"TRACER_CHUNK_T": "64"}),
     ("chunk128+recip", {"TRACER_CHUNK_T": "128",
                         "TRACER_APPROX_RECIP": "1"}),
+    # schedule_stats.py model (CPU, real captured pooled-loop ray mix):
+    # MXU/epilogue element-work is nearly FLAT across granularity
+    # (0.82-1.08 Gelem, min at c64/t256) because bounce rays on this
+    # scene reach ~every chunk — so granularity is a <=15% lever and
+    # the winning stack is expected to be recip + modest granularity +
+    # pool. These crosses chase that prediction:
+    ("chunk64+recip", {"TRACER_CHUNK_T": "64",
+                       "TRACER_APPROX_RECIP": "1"}),
+    ("chunk64+tile512", {"TRACER_CHUNK_T": "64",
+                         "TRACER_TILE_N": "512"}),
+    ("chunk64+tile256+recip", {"TRACER_CHUNK_T": "64",
+                               "TRACER_TILE_N": "256",
+                               "TRACER_APPROX_RECIP": "1"}),
     ("tile512+chunk128", {"TRACER_TILE_N": "512",
                           "TRACER_CHUNK_T": "128"}),
+    ("tile512+chunk128+recip", {"TRACER_TILE_N": "512",
+                                "TRACER_CHUNK_T": "128",
+                                "TRACER_APPROX_RECIP": "1"}),
     ("tile512+recip", {"TRACER_TILE_N": "512",
                        "TRACER_APPROX_RECIP": "1"}),
     ("tile256", {"TRACER_TILE_N": "256"}),
