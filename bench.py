@@ -65,23 +65,15 @@ def _require_backend():
     """Fail loudly instead of hanging when the device is unreachable: the
     axon tunnel going down mid-round makes backend init block forever
     inside make_c_api_client (no timeout at the PJRT layer), which would
-    leave the driver with a hung bench instead of a clean error. A
-    watchdog thread hard-exits (os._exit — the init thread is stuck in C)
-    if jax.devices() doesn't return within BENCH_INIT_TIMEOUT_S."""
-    import threading
+    leave the driver with a hung bench instead of a clean error
+    (_watchdog.arm, rc 3, BENCH_INIT_TIMEOUT_S)."""
+    import _watchdog
 
     timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
-    done = threading.Event()
-
-    def watchdog():
-        if not done.wait(timeout_s):
-            print(f"bench: backend init did not complete within "
-                  f"{timeout_s:.0f}s (device tunnel unreachable?); "
-                  "refusing to hang", file=sys.stderr)
-            sys.stderr.flush()
-            os._exit(3)
-
-    threading.Thread(target=watchdog, daemon=True).start()
+    done = _watchdog.arm(
+        timeout_s,
+        f"bench: backend init did not complete within {timeout_s:.0f}s "
+        "(device tunnel unreachable?); refusing to hang", rc=3)
     import jax
 
     devices = jax.devices()
@@ -93,24 +85,15 @@ def _arm_deadline():
     """Whole-run deadline: backend init has its own watchdog, but the
     tunnel can also die mid-compile (remote compiles of changed code take
     minutes) or mid-execution, leaving the process stuck in C with no
-    Python-level recourse. A daemon thread hard-exits after
-    BENCH_TOTAL_TIMEOUT_S so the driver gets rc 4 instead of a hang;
-    normal completion just lets the process exit first."""
-    import threading
+    Python-level recourse. rc 4 instead of a hang (BENCH_TOTAL_TIMEOUT_S;
+    normal completion just lets the process exit first)."""
+    import _watchdog
 
     total_s = float(os.environ.get("BENCH_TOTAL_TIMEOUT_S", "3000"))
-    if total_s <= 0:
-        return
-
-    def watchdog():
-        time.sleep(total_s)
-        print(f"bench: did not complete within {total_s:.0f}s (device "
-              "tunnel stalled mid-compile/run?); refusing to hang",
-              file=sys.stderr)
-        sys.stderr.flush()
-        os._exit(4)
-
-    threading.Thread(target=watchdog, daemon=True).start()
+    _watchdog.arm(
+        total_s,
+        f"bench: did not complete within {total_s:.0f}s (device tunnel "
+        "stalled mid-compile/run?); refusing to hang", rc=4)
 
 
 def main():

@@ -184,7 +184,16 @@ def main():
     except Exception:
         pass
     for r in results:
-        merged[r.get("config")] = r
+        prev = merged.get(r.get("config"))
+        if "error" in r and prev is not None and "error" not in prev:
+            # never clobber a stored good measurement with a
+            # timeout/crash record (flaky-tunnel replays hit this);
+            # annotate instead so the failure is still visible
+            prev = dict(prev)
+            prev["last_error"] = r["error"]
+            merged[r.get("config")] = prev
+        else:
+            merged[r.get("config")] = r
     order = [c["name"] for c in CONFIGS.values()]
     out = sorted(merged.values(),
                  key=lambda r: order.index(r["config"])

@@ -140,6 +140,55 @@ COMBOS = [(ct, tn) for ct in (64, 128, 256, 512)
           for tn in (256, 512, 1024, 2048)]
 
 
+def _block_candidates(data, idxs, tris):
+    """Per-population any-true-Möller-candidate per (64-row block, lane):
+    (n_blocks, N) bool each. The morton sort in build_dense is
+    chunk-size-independent and padding is a contiguous tail, so every
+    combo's chunk j is the union of chunk_t/64 consecutive 64-row blocks
+    — one multiplied-space validity pass (no divide, same tests as
+    _scores_any) serves all combos."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracer_tpu.ops import intersect, shapes
+
+    dense = _build_dense_at(tris, 64)
+    coeffs = dense.coeffs  # (4, t_pad, 10), padded rows all-zero -> a=0
+
+    eps2 = float(shapes.TRI_EPS) ** 2
+
+    @jax.jit
+    def valid_blocks(o, d, tmax):
+        phi = intersect.ray_features_t(o, d)
+        sc = jnp.einsum("ctk,kn->ctn", coeffs, phi)
+        a, nt, nu, nv = sc[0], sc[1], sc[2], sc[3]
+        a2 = a * a
+        valid = (a2 >= eps2) & (nt * a > 0) & (nt * a < tmax[None] * a2)
+        valid &= (nu * a >= 0) & (nv * a <= 0) & ((nu - nv) * a <= a2)
+        return valid.reshape(-1, 64, valid.shape[1]).any(axis=1)
+
+    out = {}
+    for i in idxs:
+        o, d, tmax = data[f"o{i}"], data[f"d{i}"], data[f"t{i}"]
+        out[i] = np.asarray(valid_blocks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax)))
+    return out
+
+
+def _build_dense_at(tris, chunk_t: int):
+    from tracer_tpu.ops import intersect
+
+    prev = os.environ.get("TRACER_CHUNK_T")
+    os.environ["TRACER_CHUNK_T"] = str(chunk_t)
+    try:
+        return intersect.build_dense(tris)
+    finally:
+        if prev is None:
+            del os.environ["TRACER_CHUNK_T"]
+        else:
+            os.environ["TRACER_CHUNK_T"] = prev
+
+
 def analyze(args):
     import jax.numpy as jnp
 
@@ -150,69 +199,109 @@ def analyze(args):
     tris = jnp.asarray(data["tris"])
     n_pops = int(data["n"])
     kinds = data["kinds"]
-    idxs = list(range(0, n_pops, args.every))
+    # stride WITHIN each kind: capture alternates closest/anyhit, so a
+    # flat stride of 2 would sample one kind only
+    by_kind = {k: [i for i in range(n_pops) if kinds[i] == k]
+               for k in ("closest", "anyhit")}
+    idxs = sorted(i for k in by_kind
+                  for i in by_kind[k][::args.every])
 
     print(f"{n_pops} populations, analyzing {len(idxs)} "
-          f"(every {args.every}); combos: chunk_t x tile_n")
+          f"(every {args.every} per kind); combos: chunk_t x tile_n")
+    print("computing per-block candidate masks (multiplied-space "
+          "Möller, once for all combos)...")
+    cand64 = _block_candidates(data, idxs, tris)
+    n_blocks64 = next(iter(cand64.values())).shape[0]
+
     header = (f"{'combo':>16} {'g':>2} {'sched/tile':>10} "
-              f"{'member-pass%':>12} {'MXU Gelem':>10} {'visits(k)':>10}")
-    print(header)
+              f"{'MXU Gelem':>10} {'visits(k)':>10} {'empty-vis%':>10} "
+              f"{'member-pass%':>12}")
 
-    for chunk_t, tile_n in COMBOS:
-        os.environ["TRACER_CHUNK_T"] = str(chunk_t)
-        try:
-            dense = intersect.build_dense(tris)
-        finally:
-            del os.environ["TRACER_CHUNK_T"]
-        bounds = np.asarray(dense.chunk_bounds)
-        n_chunks = bounds.shape[0]
-        g = -(-n_chunks // pk.MAX_SCHED)
-        sb = (dense.chunk_bounds if g == 1
-              else pk._superchunk_bounds(dense.chunk_bounds, g))
-        sbounds = np.asarray(sb)
-        n_super = sbounds.shape[0]
+    for kind_sel in ("closest", "anyhit"):
+        print(f"\n== {kind_sel} queries "
+              f"({sum(1 for i in idxs if kinds[i] == kind_sel)} sampled)")
+        print(header)
+        kind_idxs = [i for i in idxs if kinds[i] == kind_sel]
 
-        tot_sched = tot_tiles = tot_members = tot_passes = 0
-        mxu_elems = 0.0
-        for i in idxs:
-            o, d, tmax = data[f"o{i}"], data[f"d{i}"], data[f"t{i}"]
-            n = o.shape[1]
-            pad = (-n) % tile_n
-            if pad:  # edge-replicate so padding doesn't skew stats
-                o = np.concatenate([o, np.repeat(o[:, -1:], pad, 1)], 1)
-                d = np.concatenate([d, np.repeat(d[:, -1:], pad, 1)], 1)
-                tmax = np.concatenate([tmax, np.repeat(tmax[-1:], pad)])
-            n_tiles = o.shape[1] // tile_n
+        for chunk_t, tile_n in COMBOS:
+            dense = _build_dense_at(tris, chunk_t)
+            bounds = np.asarray(dense.chunk_bounds)
+            n_chunks = bounds.shape[0]
+            g = -(-n_chunks // pk.MAX_SCHED)
+            sb = (dense.chunk_bounds if g == 1
+                  else pk._superchunk_bounds(dense.chunk_bounds, g))
+            n_super = np.asarray(sb).shape[0]
+            blocks_per_chunk = chunk_t // 64
 
-            # scheduler (the real one), superchunk granularity
-            phi = np.asarray(intersect.ray_features_t(
-                jnp.asarray(o), jnp.asarray(d)))
-            phi16 = np.pad(phi, ((0, 6), (0, 0)))
-            order, count = pk._tile_chunk_order(
-                jnp.asarray(phi16), jnp.asarray(tmax), jnp.asarray(sb),
-                n_tiles, tile_n)
-            order, count = np.asarray(order), np.asarray(count)
+            tot_sched = tot_tiles = tot_members = tot_passes = 0
+            tot_empty = 0
+            mxu_elems = 0.0
+            for i in kind_idxs:
+                o, d, tmax = data[f"o{i}"], data[f"d{i}"], data[f"t{i}"]
+                n = o.shape[1]
+                pad = (-n) % tile_n
+                if pad:  # edge-replicate so padding doesn't skew stats
+                    o = np.concatenate([o, np.repeat(o[:, -1:], pad, 1)], 1)
+                    d = np.concatenate([d, np.repeat(d[:, -1:], pad, 1)], 1)
+                    tmax = np.concatenate([tmax, np.repeat(tmax[-1:], pad)])
+                n_tiles = o.shape[1] // tile_n
 
-            # member-chunk culls at upper = tmax for every (chunk, tile)
-            mem_pass = _slab_any_per_tile(bounds, o, d, tmax, tile_n)
+                # scheduler (the real one), superchunk granularity
+                phi = np.asarray(intersect.ray_features_t(
+                    jnp.asarray(o), jnp.asarray(d)))
+                phi16 = np.pad(phi, ((0, 6), (0, 0)))
+                order, count = pk._tile_chunk_order(
+                    jnp.asarray(phi16), jnp.asarray(tmax), jnp.asarray(sb),
+                    n_tiles, tile_n)
+                order, count = np.asarray(order), np.asarray(count)
 
-            sched = np.zeros((n_super, n_tiles), bool)
-            for ti in range(n_tiles):
-                sched[order[ti, :count[ti]], ti] = True
-            # members of scheduled supers that pass their own cull
-            sched_mem = np.repeat(sched, g, axis=0)[:n_chunks]
-            passes = sched_mem & mem_pass
+                # member-chunk culls at upper = tmax for every (chunk, tile)
+                mem_pass = _slab_any_per_tile(bounds, o, d, tmax, tile_n)
 
-            tot_sched += int(count.sum())
-            tot_tiles += n_tiles
-            tot_members += int(sched_mem.sum())
-            tot_passes += int(passes.sum())
-            mxu_elems += float(passes.sum()) * chunk_t * tile_n
+                sched = np.zeros((n_super, n_tiles), bool)
+                for ti in range(n_tiles):
+                    sched[order[ti, :count[ti]], ti] = True
+                # members of scheduled supers that pass their own cull
+                sched_mem = np.repeat(sched, g, axis=0)[:n_chunks]
+                passes = sched_mem & mem_pass
 
-        name = f"c{chunk_t}/t{tile_n}"
-        print(f"{name:>16} {g:>2} {tot_sched / max(tot_tiles, 1):>10.1f} "
-              f"{100.0 * tot_passes / max(tot_members, 1):>11.1f}% "
-              f"{mxu_elems / 1e9:>10.2f} {tot_passes / 1e3:>10.1f}")
+                # candidate density: does the visited (chunk, tile) hold
+                # ANY true Möller candidate? (per-visit any(valid)
+                # epilogue-guard ceiling). chunk j of this combo = 64-row
+                # blocks [j*bpc, (j+1)*bpc); pad missing tail blocks False
+                cb = cand64[i][:, :n]  # (n_blocks64, N) before lane pad
+                if pad:
+                    cb = np.concatenate(
+                        [cb, np.repeat(cb[:, -1:], pad, 1)], 1)
+                need = n_chunks * blocks_per_chunk
+                if need > n_blocks64:
+                    cb = np.concatenate([
+                        cb, np.zeros((need - n_blocks64, cb.shape[1]),
+                                     bool)], 0)
+                cand_chunk = (cb[:need]
+                              .reshape(n_chunks, blocks_per_chunk, -1)
+                              .any(axis=1)
+                              .reshape(n_chunks, n_tiles, tile_n)
+                              .any(axis=2))
+                tot_empty += int((passes & ~cand_chunk).sum())
+
+                tot_sched += int(count.sum())
+                tot_tiles += n_tiles
+                tot_members += int(sched_mem.sum())
+                tot_passes += int(passes.sum())
+                mxu_elems += float(passes.sum()) * chunk_t * tile_n
+
+            name = f"c{chunk_t}/t{tile_n}"
+            # member-pass% is only informative at g > 1: at g == 1 the
+            # member cull tests the same box at the same bound as the
+            # scheduler, so it is 100% by construction
+            mp = ("-" if g == 1 else
+                  f"{100.0 * tot_passes / max(tot_members, 1):.1f}%")
+            print(f"{name:>16} {g:>2} "
+                  f"{tot_sched / max(tot_tiles, 1):>10.1f} "
+                  f"{mxu_elems / 1e9:>10.2f} {tot_passes / 1e3:>10.1f} "
+                  f"{100.0 * tot_empty / max(tot_passes, 1):>9.1f}% "
+                  f"{mp:>12}")
 
 
 def main():

@@ -60,6 +60,17 @@ COMBOS = [
     ("tile512+recip", {"TRACER_TILE_N": "512",
                        "TRACER_APPROX_RECIP": "1"}),
     ("tile256", {"TRACER_TILE_N": "256"}),
+    # anyhit-only small tiles: shadow queries are ~90% NEE-masked on
+    # this scene and tight-tmax, so their element-work scales 3x with
+    # tile size while closest is flat (schedule_stats) — shrink ONLY
+    # the anyhit tile and keep closest at its best size
+    ("anyT256", {"TRACER_TILE_N_ANY": "256"}),
+    ("anyT512", {"TRACER_TILE_N_ANY": "512"}),
+    ("anyT256+recip", {"TRACER_TILE_N_ANY": "256",
+                       "TRACER_APPROX_RECIP": "1"}),
+    ("chunk64+anyT256+recip", {"TRACER_CHUNK_T": "64",
+                               "TRACER_TILE_N_ANY": "256",
+                               "TRACER_APPROX_RECIP": "1"}),
     # pool-size combos only make sense end-to-end (--e2e): they change
     # the integrator's iteration structure, not the query kernels
     ("pool32k", {"TRACER_POOL_TARGET": "32768"}),

@@ -14,14 +14,16 @@ step() {  # step <num> <name> <timeout_s> <cmd...>
   local num="$1" name="$2" tmo="$3"; shift 3
   local log="/tmp/tpuq/${num}-${name}.log"
   echo "=== [$num] $name ($(date -u +%H:%M:%S)) -> $log"
-  timeout "$tmo" "$@" >"$log" 2>&1
+  # -k: a process stuck in a PJRT C call ignores SIGTERM (docs/PERF.md
+  # "availability note") — follow up with SIGKILL so the queue advances
+  timeout -k 15 "$tmo" "$@" >"$log" 2>&1
   local rc=$?
   echo "=== [$num] $name done rc=$rc ($(date -u +%H:%M:%S))"
   tail -2 "$log"
 }
 
 # 0. Abort everything if the tunnel is still down (fast matmul probe).
-if ! timeout 180 python -c "
+if ! timeout -s KILL 180 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128,128)); (x@x).block_until_ready(); print('TPU OK')
 " >/tmp/tpuq/00-probe.log 2>&1; then

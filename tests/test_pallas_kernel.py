@@ -79,6 +79,29 @@ def test_schedule_axis_parallel_ray_on_bound_plane():
     assert int(count[0]) == 1  # NaN would have dropped it
 
 
+def test_anyhit_tile_override_matches(rng_np, monkeypatch):
+    """TRACER_TILE_N_ANY (anyhit-only tile width) changes only the grid
+    partition — hits must be identical to the default tiling."""
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (300, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 700
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+    # per-lane tmax with a masked (tmax 0) majority, like NEE shadow rays
+    tmaxes = jnp.where(jnp.arange(n) % 4 == 0, 4.0, 0.0)
+
+    hp = pk.any_hit_pallas(dense.coeffs, phi, tmaxes, dense.chunk_bounds,
+                           interpret=True)
+    monkeypatch.setenv("TRACER_TILE_N_ANY", "256")
+    hp1 = pk.any_hit_pallas(dense.coeffs, phi, tmaxes, dense.chunk_bounds,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hp1))
+    assert not np.asarray(hp)[1::4].any()  # masked lanes never hit
+
+
 def test_member_chunk_cull_axis_parallel_on_plane():
     """Same NaN hazard as the scheduler test, one level down: the
     in-kernel member-chunk slab test (_chunk_cull) must treat

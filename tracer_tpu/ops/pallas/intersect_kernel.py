@@ -60,6 +60,19 @@ def _tile_n() -> int:
     return int(os.environ.get("TRACER_TILE_N", str(TILE_N)))
 
 
+def _tile_n_any() -> int:
+    """TRACER_TILE_N_ANY: anyhit-specific ray-tile width (defaults to
+    TRACER_TILE_N). Shadow queries carry tight tmax and, on
+    specular-heavy scenes, ~90% NEE-masked lanes (tmax 0 fails every
+    slab), so smaller tiles isolate the live lanes and cull far better
+    than for closest: on the captured SpectrumSphere ray mix, anyhit
+    element-work varies 3x across tile 256-2048 while closest is flat
+    (benchmarks/schedule_stats.py)."""
+    import os
+    v = os.environ.get("TRACER_TILE_N_ANY")
+    return int(v) if v else _tile_n()
+
+
 def _approx_recip() -> bool:
     """TRACER_APPROX_RECIP=1: hardware-approximate reciprocal in the
     closest epilogue (see _scores). Off by default pending measurement."""
@@ -848,7 +861,7 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
     k_pack = 16 * len(_PACK_LEFT[splits])
     streaming = _use_streaming(4 * coeffs.shape[1] * k_pack * 2)
     lane_major = streaming or _use_lane_major(coeffs.shape[1])
-    tile_n = _tile_n()
+    tile_n = _tile_n_any()
     coeffs2, phi, tmaxv, n_pad, chunk_t = _pad_inputs(
         coeffs, phi_t, tmax, n, n_chunks, lane_major, tile_n, splits)
     n_tiles = n_pad // tile_n

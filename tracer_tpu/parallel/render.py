@@ -33,9 +33,10 @@ SAMPLE_AXIS = "sample"
 # silently ignore later changes (e.g. a pool-size sweep setting
 # TRACER_POOL_TARGET between calls).
 _TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_TILE_N",
-                "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
-                "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
-                "TRACER_CHUNK_T", "TRACER_MXU_PRECISION", "TRACER_NO_PALLAS")
+                "TRACER_TILE_N_ANY", "TRACER_APPROX_RECIP",
+                "TRACER_MXU_PACK", "TRACER_COEFF_LAYOUT",
+                "TRACER_STREAM_COEFFS", "TRACER_CHUNK_T",
+                "TRACER_MXU_PRECISION", "TRACER_NO_PALLAS")
 
 
 def _knob_key() -> tuple:
