@@ -175,6 +175,151 @@ def _block_candidates(data, idxs, tris):
     return out
 
 
+def _block_min_t(data, idxs, tris):
+    """Exact per-(64-row block, lane) minimum hit t (inf when none) —
+    feeds the best-t walk simulator. Same block trick as
+    _block_candidates (morton order is chunk-size-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracer_tpu.ops import intersect, shapes
+
+    dense = _build_dense_at(tris, 64)
+    coeffs = dense.coeffs
+    eps = float(shapes.TRI_EPS)
+
+    @jax.jit
+    def mins(o, d, tmax):
+        phi = intersect.ray_features_t(o, d)
+        sc = jnp.einsum("ctk,kn->ctn", coeffs, phi)
+        a, nt, nu, nv = sc[0], sc[1], sc[2], sc[3]
+        nondeg = jnp.abs(a) >= eps
+        t = jnp.where(nondeg, nt / jnp.where(nondeg, a, 1.0), jnp.inf)
+        valid = nondeg & (t > 0) & (t < tmax[None])
+        valid &= (nu * a >= 0) & (nv * a <= 0) & ((nu - nv) * a <= a * a)
+        t = jnp.where(valid, t, jnp.inf)
+        return t.reshape(-1, 64, t.shape[1]).min(axis=1)
+
+    return {i: np.asarray(mins(jnp.asarray(data[f"o{i}"]),
+                                jnp.asarray(data[f"d{i}"]),
+                                jnp.asarray(data[f"t{i}"])))
+            for i in idxs}
+
+
+def _slab_entry_per_lane(bounds, o, d, tmax):
+    """(K, N) slab entry distance (+inf where the lane can't reach the
+    chunk at tmax) — per-lane version of _slab_any_per_tile."""
+    n = o.shape[1]
+    tmin = np.zeros((bounds.shape[0], n), np.float32)
+    tmx = np.broadcast_to(tmax[None], tmin.shape).copy()
+    from tracer_tpu.ops import shapes
+    eps = float(shapes.AABB_EPS)
+    for k in range(3):
+        par = d[k] == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / np.where(par, 1.0, d[k])
+            t0 = (bounds[:, k, None] - o[k][None]) * inv
+            t1 = (bounds[:, 3 + k, None] - o[k][None]) * inv
+        lo = np.where(par[None], 0.0, np.minimum(t0, t1))
+        hi = np.where(par[None], tmax[None], np.maximum(t0, t1) * (1.0 + eps))
+        tmin = np.maximum(tmin, lo)
+        tmx = np.minimum(tmx, hi)
+    ok = tmx > tmin
+    empty = bounds[:, 0] > bounds[:, 3]
+    ok[empty] = False
+    return np.where(ok, tmin, np.inf)
+
+
+WALK_POLICIES = ("near", "votes", "mean")
+
+
+def walk(args):
+    """Best-t walk simulator for CLOSEST queries: replays the in-kernel
+    near-to-far walk (visit chunk if any lane's slab entry is below its
+    tightened min(tmax, best_t); after a visit, best_t absorbs the
+    chunk's true per-lane min hit t) under alternative XLA-side
+    schedule orderings:
+      near  — per-tile min entry distance, ascending (production)
+      votes — per-tile count of reachable lanes, descending
+      mean  — per-tile mean entry among reachable lanes, ascending
+    Reports visited-(chunk, tile) counts and MXU element-work per
+    policy; an ordering that tightens best_t sooner visits fewer chunks
+    with ZERO kernel changes (the order table is built XLA-side)."""
+    import jax.numpy as jnp
+
+    data = np.load(args.pop, allow_pickle=False)
+    tris = jnp.asarray(data["tris"])
+    n_pops = int(data["n"])
+    kinds = data["kinds"]
+    cl = [i for i in range(n_pops) if kinds[i] == "closest"][::args.every]
+    print(f"walk sim on {len(cl)} closest populations; policies: "
+          f"{', '.join(WALK_POLICIES)}")
+    print("computing exact per-block min hit t...")
+    min_t = _block_min_t(data, cl, tris)
+
+    combos = [tuple(int(x) for x in c.split("/"))
+              for c in args.combos.split(",")]
+    print(f"{'combo':>12} {'policy':>6} {'visits(k)':>10} "
+          f"{'MXU Gelem':>10} {'vs near':>8}")
+    for chunk_t, tile_n in combos:
+        dense = _build_dense_at(tris, chunk_t)
+        bounds = np.asarray(dense.chunk_bounds)
+        n_chunks = bounds.shape[0]
+        bpc = chunk_t // 64
+        stats = {p: [0, 0.0] for p in WALK_POLICIES}
+        for i in cl:
+            o, d, tmax = data[f"o{i}"], data[f"d{i}"], data[f"t{i}"]
+            n = o.shape[1]
+            pad = (-n) % tile_n
+            if pad:
+                o = np.concatenate([o, np.repeat(o[:, -1:], pad, 1)], 1)
+                d = np.concatenate([d, np.repeat(d[:, -1:], pad, 1)], 1)
+                tmax = np.concatenate([tmax, np.repeat(tmax[-1:], pad)])
+            entry = _slab_entry_per_lane(bounds, o, d, tmax)  # (K, Np)
+            mt = min_t[i]
+            need = n_chunks * bpc
+            if need > mt.shape[0]:
+                mt = np.concatenate([mt, np.full(
+                    (need - mt.shape[0], mt.shape[1]), np.inf,
+                    np.float32)], 0)
+            cmt = mt[:need].reshape(n_chunks, bpc, -1).min(axis=1)
+            if pad:
+                cmt = np.concatenate(
+                    [cmt, np.repeat(cmt[:, -1:], pad, 1)], 1)
+            n_tiles = o.shape[1] // tile_n
+            e3 = entry.reshape(n_chunks, n_tiles, tile_n)
+            m3 = cmt.reshape(n_chunks, n_tiles, tile_n)
+            t3 = tmax.reshape(n_tiles, tile_n)
+            reach = np.isfinite(e3)
+            keys = {
+                "near": np.where(reach, e3, np.inf).min(axis=2),
+                "votes": -reach.sum(axis=2).astype(np.float64),
+                "mean": np.where(
+                    reach.any(axis=2),
+                    np.where(reach, e3, 0.0).sum(axis=2)
+                    / np.maximum(reach.sum(axis=2), 1), np.inf),
+            }
+            for pol in WALK_POLICIES:
+                order = np.argsort(keys[pol], axis=0, kind="stable")
+                for ti in range(n_tiles):
+                    upper = t3[ti].copy()
+                    for c in order[:, ti]:
+                        if not np.isfinite(keys[pol][c, ti]):
+                            if pol != "votes":
+                                break  # inf key: nothing reachable beyond
+                            continue
+                        live = e3[c, ti] < upper
+                        if live.any():
+                            stats[pol][0] += 1
+                            stats[pol][1] += chunk_t * tile_n
+                            upper = np.minimum(upper, m3[c, ti])
+        base = stats["near"][1]
+        for pol in WALK_POLICIES:
+            v, el = stats[pol]
+            print(f"c{chunk_t}/t{tile_n:>5} {pol:>6} {v / 1e3:>10.1f} "
+                  f"{el / 1e9:>10.2f} {el / max(base, 1):>8.2f}")
+
+
 def _build_dense_at(tris, chunk_t: int):
     from tracer_tpu.ops import intersect
 
@@ -314,8 +459,12 @@ def main():
     a = sub.add_parser("analyze")
     a.add_argument("--pop", default="/tmp/sched_pop.npz")
     a.add_argument("--every", type=int, default=2)
+    w = sub.add_parser("walk")
+    w.add_argument("--pop", default="/tmp/sched_pop.npz")
+    w.add_argument("--every", type=int, default=4)
+    w.add_argument("--combos", default="256/2048,128/512,64/256")
     args = ap.parse_args()
-    capture(args) if args.cmd == "capture" else analyze(args)
+    {"capture": capture, "analyze": analyze, "walk": walk}[args.cmd](args)
 
 
 if __name__ == "__main__":
