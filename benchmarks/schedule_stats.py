@@ -47,11 +47,11 @@ _cpu_pin.force_cpu(1)
 import numpy as np
 
 
-def _load_scene():
+def _load_scene(name: str):
     from tracer_tpu.utils.objloader import load_obj
 
     assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
-    return load_obj(os.path.join(assets, "SpectrumSphere.obj"))
+    return load_obj(os.path.join(assets, name + ".obj"))
 
 
 def capture(args):
@@ -61,9 +61,10 @@ def capture(args):
     from tracer_tpu.engine import integrator
     from tracer_tpu.ops import intersect
 
-    tris, tm, mats = _load_scene()
+    tris, tm, mats = _load_scene(args.scene)
+    origin = tuple(float(x) for x in args.origin.split(","))
     s = T.init(0, args.size, args.size, 0, tris, tm, mats,
-               cam_origin=(0.0, 0.8, 1.8))
+               cam_origin=origin)
     w, h = s.sub_dims
 
     pops = []  # (kind, o (3,N), d (3,N), tmax (N,))
@@ -453,6 +454,10 @@ def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("capture")
+    c.add_argument("--scene", default="SpectrumSphere")
+    c.add_argument("--origin", default="0,0.8,1.8",
+                   help="camera origin; MirrorBox uses 0,0.8,0.9 "
+                        "(run_all config 3)")
     c.add_argument("--size", type=int, default=128)
     c.add_argument("--spp", type=int, default=4)
     c.add_argument("--out", default="/tmp/sched_pop.npz")
