@@ -176,30 +176,35 @@ def main():
              if os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
              else "BENCH_ALL.json")
     path = os.path.join(ROOT, fname)
-    merged = {}
+    old = []
     try:
         with open(path) as f:
-            for r in json.load(f):
-                merged[r.get("config")] = r
+            old = json.load(f)
     except Exception:
         pass
-    for r in results:
+    with open(path, "w") as f:
+        json.dump(merge_results(old, results), f, indent=2)
+
+
+def merge_results(old: list, new: list) -> list:
+    """Config-keyed merge of bench records. A new error record never
+    clobbers a stored good measurement (flaky-tunnel replays hit this) —
+    the good record is kept with a `last_error` annotation instead."""
+    merged = {}
+    for r in old:
+        merged[r.get("config")] = r
+    for r in new:
         prev = merged.get(r.get("config"))
         if "error" in r and prev is not None and "error" not in prev:
-            # never clobber a stored good measurement with a
-            # timeout/crash record (flaky-tunnel replays hit this);
-            # annotate instead so the failure is still visible
             prev = dict(prev)
             prev["last_error"] = r["error"]
             merged[r.get("config")] = prev
         else:
             merged[r.get("config")] = r
     order = [c["name"] for c in CONFIGS.values()]
-    out = sorted(merged.values(),
-                 key=lambda r: order.index(r["config"])
-                 if r.get("config") in order else 99)
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+    return sorted(merged.values(),
+                  key=lambda r: order.index(r["config"])
+                  if r.get("config") in order else 99)
 
 
 if __name__ == "__main__":

@@ -152,3 +152,31 @@ print("MEAN", float(np.asarray(out.img).mean()))
     assert proc.returncode == 0, proc.stderr[-800:]
     mean = float(proc.stdout.split("MEAN ")[1].split()[0])
     assert mean == expect, (mean, expect)
+
+
+def test_bench_merge_never_clobbers_good_records():
+    """run_all.merge_results: an error record must not replace a stored
+    good measurement (the flaky-tunnel replay case); fresh errors and
+    fresh measurements merge normally."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks"))
+    import run_all
+
+    good = {"config": "cornell-256spp", "value": 245.0,
+            "metric": "mrays_per_sec"}
+    out = run_all.merge_results(
+        [good],
+        [{"config": "cornell-256spp", "error": "timeout"},
+         {"config": "spectrum", "error": "timeout"},
+         {"config": "mirrorbox", "value": 219.0}])
+    by = {r["config"]: r for r in out}
+    assert by["cornell-256spp"]["value"] == 245.0
+    assert by["cornell-256spp"]["last_error"] == "timeout"
+    assert by["spectrum"] == {"config": "spectrum", "error": "timeout"}
+    assert by["mirrorbox"]["value"] == 219.0
+    # a fresh good record replaces an old error record
+    out2 = run_all.merge_results(out, [{"config": "spectrum",
+                                        "value": 60.0}])
+    assert {r["config"]: r for r in out2}["spectrum"]["value"] == 60.0
