@@ -180,3 +180,32 @@ def test_bench_merge_never_clobbers_good_records():
     out2 = run_all.merge_results(out, [{"config": "spectrum",
                                         "value": 60.0}])
     assert {r["config"]: r for r in out2}["spectrum"]["value"] == 60.0
+
+
+def test_watchdog_fires_and_disarms():
+    """_watchdog.arm: hard-exits with the given rc when not disarmed
+    (even though the 'stuck' main thread never returns), and is a no-op
+    once .set() — the contract bench.py/__graft_entry__ rely on to
+    escape PJRT hangs."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fired = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r)\n"
+         "import _watchdog, time\n"
+         "_watchdog.arm(0.2, 'boom', rc=7)\n"
+         "time.sleep(10)" % root],
+        capture_output=True, text=True, timeout=60)
+    assert fired.returncode == 7
+    assert "boom" in fired.stderr
+
+    disarmed = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r)\n"
+         "import _watchdog, time\n"
+         "done = _watchdog.arm(0.2, 'boom', rc=7)\n"
+         "done.set(); time.sleep(0.5); print('survived')" % root],
+        capture_output=True, text=True, timeout=60)
+    assert disarmed.returncode == 0 and "survived" in disarmed.stdout
