@@ -42,9 +42,12 @@ step 03 bigscene-l4 3000 python benchmarks/bigscene_check.py --levels 4
 # 4. Refresh all config numbers with the current code (BENCH_ALL.json).
 step 04 runall-1234 3600 python benchmarks/run_all.py --configs 1,2,3,4 --timeout 840
 step 05 runall-5 1800 python benchmarks/run_all.py --configs 5 --timeout 840
-# 5. Spectrum knob sweeps (kernel knobs, then pool combos end-to-end);
+# 5. Per-iteration attribution on the spectrum config: stage sum vs the
+#    real pooled loop (pooliter), at the production pool lane count.
+step 06 profile-spectrum 2400 env PROFILE_POOL=1 python benchmarks/profile_bounce.py SpectrumSphere 65536
+# 6. Spectrum knob sweeps (kernel knobs, then pool combos end-to-end);
 #    winners get folded into code defaults by hand afterwards.
-step 06 sweep-kernel 7200 python benchmarks/sweep_spectrum.py
-step 07 sweep-e2e 7200 python benchmarks/sweep_spectrum.py --e2e
+step 07 sweep-kernel 7200 python benchmarks/sweep_spectrum.py
+step 08 sweep-e2e 7200 python benchmarks/sweep_spectrum.py --e2e
 
 echo "queue complete ($(date -u +%H:%M:%S)); logs in /tmp/tpuq/"
