@@ -33,10 +33,14 @@ def main():
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--pool", type=int, default=0,
                     help="TRACER_POOL_TARGET override (0 = policy)")
+    ap.add_argument("--steal", type=int, default=-1,
+                    help="TRACER_STEAL_D override (-1 = default)")
     args = ap.parse_args()
 
     if args.pool:
         os.environ["TRACER_POOL_TARGET"] = str(args.pool)
+    if args.steal >= 0:
+        os.environ["TRACER_STEAL_D"] = str(args.steal)
 
     import tracer_tpu as T
     from tracer_tpu.engine import integrator
@@ -60,7 +64,7 @@ def main():
     occ = rays / (3.0 * pool * iters)
     m_items = n * args.spp // pool
     print(f"scene={args.scene} n={n} spp={args.spp} pool={pool} "
-          f"m_items={m_items}")
+          f"m_items={m_items} steal={integrator._steal_offsets(pool)}")
     print(f"iters={iters} rays={rays} segments/lane-slot avail="
           f"{pool * iters}")
     print(f"occupancy={occ:.4f}  (1-occ headroom: "

@@ -89,6 +89,18 @@ COMBOS = [
                                  "TRACER_APPROX_RECIP": "1"}),
     ("pool131k+chunk512", {"TRACER_POOL_TARGET": "131072",
                            "TRACER_CHUNK_T": "512"}),
+    # ring work-stealing (e2e only — a pure schedule change): default is
+    # STEAL_D=4; steal0 isolates its win, steal6 checks deeper reach,
+    # and pool crosses test whether stealing moves the best pool UP
+    # (occupancy no longer taxes big pools; CPU replay: occ 0.84 -> 0.95+
+    # at the production m=256)
+    ("steal0", {"TRACER_STEAL_D": "0"}),
+    ("steal6", {"TRACER_STEAL_D": "6"}),
+    ("pool131k+steal6", {"TRACER_POOL_TARGET": "131072",
+                         "TRACER_STEAL_D": "6"}),
+    ("pool262k+steal6+recip", {"TRACER_POOL_TARGET": "262144",
+                               "TRACER_STEAL_D": "6",
+                               "TRACER_APPROX_RECIP": "1"}),
 ]
 
 

@@ -371,6 +371,49 @@ def test_pool_size_invariance(monkeypatch):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+def test_ring_stealing_equivalence(monkeypatch):
+    """Ring work-stealing (TRACER_STEAL_D) is a pure scheduling change:
+    per-item RNG streams depend only on (sample, pixel), so the stolen
+    schedule draws the exact same sample set — rays_traced is exactly
+    equal at this size (at millions of samples the two differently-fused
+    graphs can flip a borderline RR draw: measured 3 items in 262k, with
+    chan_st — integer, fusion-immune — slot-identical), images equal to
+    float tolerance, and total iterations must not increase (that is the
+    point: idle lanes drain straggler backlogs)."""
+    s = cornell_state(16, 16)
+    w, h = s.sub_dims
+
+    def render(steal, target=None, spp=8, mode="color", pts=False):
+        if target:
+            monkeypatch.setenv("TRACER_POOL_TARGET", str(target))
+        else:
+            monkeypatch.delenv("TRACER_POOL_TARGET", raising=False)
+        monkeypatch.setenv("TRACER_STEAL_D", str(steal))
+        return integrator.render_pooled(
+            s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
+            s.transmitter_kind, spp, mode, with_points=pts)
+
+    for target in (None, 64):  # qrot (P == n) and the store path (P < n)
+        a = render(0, target)
+        b = render(3, target)
+        np.testing.assert_allclose(np.asarray(b["img"]),
+                                   np.asarray(a["img"]),
+                                   rtol=1e-4, atol=1e-6)
+        assert int(a["rays_traced"]) == int(b["rays_traced"])
+        assert int(b["iters"]) <= int(a["iters"])
+
+    # LiDAR distance + points modes through the same arbitration
+    a = render(0, 64, mode="distance", pts=True)
+    b = render(3, 64, mode="distance", pts=True)
+    np.testing.assert_allclose(np.asarray(b["img"]), np.asarray(a["img"]),
+                               rtol=1e-4, atol=1e-6)
+    for pa, pb in zip(a["points"], b["points"]):
+        pa, pb = np.asarray(pa), np.asarray(pb)
+        fin = np.isfinite(pa)
+        assert (fin == np.isfinite(pb)).all()
+        np.testing.assert_allclose(pb[fin], pa[fin], rtol=1e-4, atol=1e-6)
+
+
 def test_thin_lens_focal_plane_convergence():
     """Aperture > 0 thin-lens geometry (camera.fut:81-110): all rays for
     one pixel, wherever they leave the lens disk, must converge on the
@@ -417,8 +460,9 @@ def test_aperture_defocus_render():
     """Rendering with aperture 0.5 (the 'i' key path, lib.fut:156-160)
     conserves energy while blurring structure: the defocused image's
     mean stays near the pinhole render's, its high-frequency content
-    drops. Covers the only runtime path where our estimator deviates
-    from the reference's rng-reuse quirk (see PARITY.md)."""
+    drops. The lens sample here reuses the jitter draws exactly like
+    the reference (camera.fut:86-102 rng reuse, see camera.sample_ray);
+    this test pins the distribution-level behavior of that path."""
     s = cornell_state(32, 32)
     sharp = np.asarray(T.sample_n_frames(s, 48))
     conf = s.cam.conf._replace(aperture=jnp.float32(0.5))

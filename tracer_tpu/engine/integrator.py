@@ -243,6 +243,48 @@ def _rot_q() -> int:
     return int(os.environ.get("TRACER_ROT_Q", str(ROT_Q_DEFAULT)))
 
 
+# RING WORK-STEALING. The rotation schedule averages per-lane load, but a
+# static item->lane partition still leaves a tail: lane k's total load is
+# a sum of m_items random path costs, and the loop runs until the MAX
+# over P lanes finishes (measured occupancy on SpectrumSphere, CPU
+# schedule replay: 0.46 at m=16 .. 0.87 at m=256 — the rest of the pool
+# idles while stragglers grind). True rebalancing normally needs
+# scatters (arbitrary item -> arbitrary lane), which are slow on TPU;
+# instead lanes steal only at a small static set of ring offsets
+# {1, 2, 4, ... 2^(D-1)}: an idle lane with no items of its own left
+# claims the next unstarted item of the lane delta positions ahead
+# (mod P). Everything stays dense vector ops:
+#   * claiming owner cursors / item ids at offset delta is a jnp.roll of
+#     the (P,) cursor vectors — no gather;
+#   * a stolen item's result must land in the OWNER's store column, which
+#     is again a roll of the (value, row, ended) vectors by delta before
+#     the same single masked store write — no scatter, no extra HBM
+#     traffic;
+#   * per-item RNG streams depend only on (sample, pixel), so a stolen
+#     item computes the same sample into the same store slot: the P < n
+#     path draws the exact no-stealing sample set (verified slot-by-slot:
+#     chan_st — an integer pure function of (sample, pixel) — is
+#     IDENTICAL across steal settings; float values carry ~1-ulp XLA
+#     fusion noise between the two graphs, which can flip a borderline
+#     Russian-roulette draw at large sample counts — measured 3 flipped
+#     items in 262k).
+# One result per store column can merge per iteration, so when two lanes
+# finish items of the same owner simultaneously the later ring offset
+# defers (lane holds its result in `pending` and retries next iteration).
+# An owner issues at most D+1 items per iteration (self + one per
+# offset), so a straggler's backlog drains up to (D+1)x faster.
+# TRACER_STEAL_D = D (number of power-of-2 offsets; 0 disables and emits
+# the exact pre-stealing graph).
+STEAL_D_DEFAULT = 4
+
+
+def _steal_offsets(pool: int) -> tuple[int, ...]:
+    """Ring-steal offsets {2^i} bounded by the pool size; TRACER_STEAL_D
+    picks the count (read per call like the other knobs)."""
+    d = int(os.environ.get("TRACER_STEAL_D", str(STEAL_D_DEFAULT)))
+    return tuple(2 ** i for i in range(max(0, d)) if 2 ** i < pool)
+
+
 def _rotation_stride(n: int) -> int:
     """Golden-ratio stride coprime with n: consecutive samples of a lane
     land on well-separated pixels, so per-lane load ~ the mean."""
@@ -325,6 +367,7 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     color_mode = render_mode != "distance"
     pool = _pool_size(n, spp, _scene_t_pad(scene))  # P lanes; P | n
     qrot = pool == n                   # Q-PERIODIC ROTATION note above
+    steal_offsets = _steal_offsets(pool)  # RING WORK-STEALING note above
     stride = _rotation_stride(n)
     m_items = (n * spp) // pool        # work items per lane
     n_q = max(1, min(_rot_q(), m_items)) if qrot else 0  # rotation period
@@ -366,6 +409,10 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         s=jnp.full((pool,), -1, jnp.int32),    # sample index of the item
         base=jnp.full((pool,), n - pool, jnp.int32),
         pix=(lane - jnp.int32(pool) - jnp.int32(stride)) % jnp.int32(n),
+        issued=jnp.zeros((pool,), jnp.int32),  # items issued per OWNER
+        row=jnp.zeros((pool,), jnp.int32),     # executing item's index m
+        doff=jnp.zeros((pool,), jnp.int32),    # executing item's owner off
+        pending=jnp.zeros((pool,), bool),      # finished, write deferred
         o=jnp.zeros((3, pool), jnp.float32),
         d=jnp.zeros((3, pool), jnp.float32),
         po=jnp.zeros((3, pool), jnp.float32),  # primary ray (for points)
@@ -415,40 +462,74 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
             init["pos_st"] = jnp.zeros((3, m_items, pool), jnp.float32)
             init["int_st"] = jnp.zeros((m_items, pool), jnp.float32)
 
-    max_iters = m_items * PATH_LEN + PATH_LEN + 4
+    # stealing can defer a write behind at most one winner per offset per
+    # column; pad the safety bound accordingly
+    max_iters = m_items * PATH_LEN + PATH_LEN + 4 + 4 * len(steal_offsets)
 
     def cond(c):
         return jnp.any(c["done"] < m_items) & (c["it"] < max_iters)
 
-    def start_samples(c):
-        """Refill idle lanes that still owe work items with a fresh
-        camera sample (wavelength + channel + primary ray) on the lane's
-        next item's pixel."""
-        start = (~c["active"]) & (c["done"] < m_items)
-        base_adv = c["base"] + jnp.int32(pool)
+    def _advance(o_base, o_s, o_pix):
+        """One item-cursor advance: +P into the frame, wrapping into the
+        next sample round (and rotating by stride)."""
+        base_adv = o_base + jnp.int32(pool)
         wrap = base_adv >= n
         base_adv = base_adv - jnp.where(wrap, jnp.int32(n), 0)
-        s_adv = c["s"] + wrap.astype(jnp.int32)
+        s_adv = o_s + wrap.astype(jnp.int32)
         if qrot:
             # pixel (lane + (s mod Q) * stride) mod n — Q-periodic
             pix_adv = (lane + (s_adv % n_q) * jnp.int32(stride)) % jnp.int32(n)
         else:
-            pix_adv = c["pix"] + jnp.int32(pool) + jnp.where(
+            pix_adv = o_pix + jnp.int32(pool) + jnp.where(
                 wrap, jnp.int32(stride), 0)
             pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
             pix_adv = pix_adv - jnp.where(pix_adv >= n, jnp.int32(n), 0)
-        base = jnp.where(start, base_adv, c["base"])
-        s_ix = jnp.where(start, s_adv, c["s"])
-        pix = jnp.where(start, pix_adv, c["pix"])
+        return base_adv, s_adv, pix_adv
 
-        jx = (pix % w).astype(jnp.float32)
-        iy_row = (pix // w).astype(jnp.float32) + jnp.asarray(
+    def start_samples(c):
+        """Refill idle lanes with a fresh camera sample (wavelength +
+        channel + primary ray): first each lane claims its OWN next item,
+        then item-exhausted lanes steal the next unstarted item of the
+        owner at each ring offset (RING WORK-STEALING note above). Owner
+        cursors/ids move to the claiming lane by rolls — no gathers."""
+        idle = (~c["active"]) & (~c["pending"])
+        o_base, o_s, o_pix = c["base"], c["s"], c["pix"]
+        issued = c["issued"]
+        started = jnp.zeros((pool,), bool)
+        row_x, doff_x = c["row"], c["doff"]
+        pix_x, s_x = o_pix, o_s           # filler for non-claiming lanes
+        for dlt in (0,) + steal_offsets:
+            base_adv, s_adv, pix_adv = _advance(o_base, o_s, o_pix)
+            has = issued < m_items
+            if dlt == 0:
+                cand_h = idle & has        # helper == owner: own item
+                cand_o = cand_h
+                row_c, pix_c, s_c = issued, pix_adv, s_adv
+            else:
+                cand_h = idle & ~started & jnp.roll(has, -dlt)
+                cand_o = jnp.roll(cand_h, dlt)
+                row_c = jnp.roll(issued, -dlt)
+                pix_c = jnp.roll(pix_adv, -dlt)
+                s_c = jnp.roll(s_adv, -dlt)
+            started = started | cand_h
+            o_base = jnp.where(cand_o, base_adv, o_base)
+            o_s = jnp.where(cand_o, s_adv, o_s)
+            o_pix = jnp.where(cand_o, pix_adv, o_pix)
+            issued = issued + cand_o.astype(jnp.int32)
+            row_x = jnp.where(cand_h, row_c, row_x)
+            pix_x = jnp.where(cand_h, pix_c, pix_x)
+            s_x = jnp.where(cand_h, s_c, s_x)
+            doff_x = jnp.where(cand_h, jnp.int32(dlt), doff_x)
+        start = started
+
+        jx = (pix_x % w).astype(jnp.float32)
+        iy_row = (pix_x // w).astype(jnp.float32) + jnp.asarray(
             row0, jnp.float32)
         iy = full_h - iy_row - 1.0  # reference flips i (integrator.fut:89)
-        pix_ids = (pix.astype(jnp.uint32)
+        pix_ids = (pix_x.astype(jnp.uint32)
                    + jnp.asarray(row0, jnp.uint32) * jnp.uint32(w))
 
-        sample_idx = s_ix.astype(jnp.uint32)
+        sample_idx = s_x.astype(jnp.uint32)
         # identical streams to per-frame rendering with nonce+sample_idx:
         # make_streams(seed, nonce+s, pixel) vectorized over per-lane s
         hseed = prng.hash_u32(seed ^ prng.hash_u32(nonce + sample_idx))
@@ -463,7 +544,8 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         out = dict(c, rng=upd(c["rng"], rng2),
                    active=c["active"] | start,
                    bounce=upd(c["bounce"], 0),
-                   pix=pix, base=base, s=s_ix,
+                   pix=o_pix, base=o_base, s=o_s,
+                   issued=issued, row=row_x, doff=doff_x,
                    o=upd(c["o"], o_new), d=upd(c["d"], d_new),
                    po=upd(c["po"], o_new), pd=upd(c["pd"], d_new),
                    wavelen=upd(c["wavelen"], wavelen),
@@ -478,54 +560,83 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 
     def finish_samples(c, ended):
         """Close out lanes whose path just died: merge the sample's
-        reduced result into its phase's accumulating row (qrot) or
-        write it into store row done (its sample index)."""
-        out = dict(c, done=c["done"] + ended.astype(jnp.int32),
-                   active=c["active"] & ~ended)
+        reduced result into its phase's accumulating row (qrot) or write
+        it into store row `row` (its item index). A stolen item's result
+        is first rolled to its OWNER's column; at most one result per
+        column merges per iteration — losers wait in `pending`."""
+        # arbitration: self-results always win their own column, then
+        # ring offsets in ascending order; one write per column per iter
+        pend = ended | c["pending"]
+        fin = pend & (c["doff"] == 0)
+        col_taken = fin
+        for dlt in steal_offsets:
+            want = pend & (c["doff"] == dlt) & ~jnp.roll(col_taken, -dlt)
+            fin = fin | want
+            col_taken = col_taken | jnp.roll(want, dlt)
+
+        def align(vec, neutral):
+            """Move finishing lanes' values to their owner's column."""
+            out_v = jnp.where(fin & (c["doff"] == 0), vec, neutral)
+            for dlt in steal_offsets:
+                md = jnp.roll(fin & (c["doff"] == dlt), dlt)
+                out_v = jnp.where(md, jnp.roll(vec, dlt, axis=-1), out_v)
+            return out_v
+
+        a_end = col_taken                      # column received a result
+        a_row = align(c["row"], 0)
+        a_rad = align(c["sample_rad"], 0.0)
+        a_chan = align(c["chan"], 0)
+        a_mind = align(c["sample_min_d"], jnp.inf)
+
+        out = dict(c, done=c["done"] + a_end.astype(jnp.int32),
+                   active=c["active"] & ~ended,
+                   pending=pend & ~fin)
         if qrot:
-            sel = (srow == (c["done"] % n_q)[None, :]) & ended[None, :]
+            sel = (srow == (a_row % n_q)[None, :]) & a_end[None, :]
             if color_mode:
                 # route radiance to the sample's channel color; the
                 # channel select is a static C<=3 chain, no gather
                 contrib = jnp.zeros((3, pool), jnp.float32)
                 for ci in range(n_channels):
                     contrib = contrib + conf.sensor_color[ci][:, None] * \
-                        jnp.where(c["chan"] == ci, c["sample_rad"], 0.0)
+                        jnp.where(a_chan == ci, a_rad, 0.0)
                 out["acc3q"] = c["acc3q"] + jnp.where(
                     sel[None], contrib[:, None, :], 0.0)
             else:
-                got = (sel & jnp.isfinite(c["sample_min_d"])[None]
-                       & (c["first_s"] >= m_items))
-                out["first_s"] = jnp.where(got, c["done"][None],
-                                           c["first_s"])
-                out["first_d"] = jnp.where(got, c["sample_min_d"][None],
-                                           c["first_d"])
+                # first (smallest-s) sample with a windowed return wins;
+                # strict min in s is completion-order independent
+                got = (sel & jnp.isfinite(a_mind)[None]
+                       & (a_row[None] < c["first_s"]))
+                out["first_s"] = jnp.where(got, a_row[None], c["first_s"])
+                out["first_d"] = jnp.where(got, a_mind[None], c["first_d"])
             if with_points:
-                better = sel & (c["sample_min_d"][None] < c["acc_pd"])
-                out["acc_pd"] = jnp.where(better, c["sample_min_d"][None],
-                                          c["acc_pd"])
+                a_pos = align(c["sample_pos"], 0.0)
+                a_int = align(c["sample_int"], 0.0)
+                # strict min in sample order: exact-distance ties break
+                # on the smaller sample index (lib.fut:40-47)
+                better = sel & ((a_mind[None] < c["acc_pd"])
+                                | (jnp.isfinite(a_mind)[None]
+                                   & (a_mind[None] == c["acc_pd"])
+                                   & (a_row[None] < c["acc_ps"])))
+                out["acc_pd"] = jnp.where(better, a_mind[None], c["acc_pd"])
                 out["acc_pos"] = jnp.where(better[None],
-                                           c["sample_pos"][:, None, :],
-                                           c["acc_pos"])
-                out["acc_int"] = jnp.where(better, c["sample_int"][None],
-                                           c["acc_int"])
-                out["acc_ps"] = jnp.where(better, c["done"][None],
-                                          c["acc_ps"])
+                                           a_pos[:, None, :], c["acc_pos"])
+                out["acc_int"] = jnp.where(better, a_int[None], c["acc_int"])
+                out["acc_ps"] = jnp.where(better, a_row[None], c["acc_ps"])
             return out
-        sel = (srow == c["done"][None, :]) & ended[None, :]  # (m_items, P)
+        sel = (srow == a_row[None, :]) & a_end[None, :]  # (m_items, P)
         if color_mode:
-            out["rad_st"] = jnp.where(sel, c["sample_rad"][None, :],
-                                      c["rad_st"])
-            out["chan_st"] = jnp.where(sel, c["chan"][None, :].astype(jnp.int8),
+            out["rad_st"] = jnp.where(sel, a_rad[None, :], c["rad_st"])
+            out["chan_st"] = jnp.where(sel, a_chan[None, :].astype(jnp.int8),
                                        c["chan_st"])
         if "mind_st" in c:
-            out["mind_st"] = jnp.where(sel, c["sample_min_d"][None, :],
-                                       c["mind_st"])
+            out["mind_st"] = jnp.where(sel, a_mind[None, :], c["mind_st"])
         if with_points:
-            out["pos_st"] = jnp.where(sel[None], c["sample_pos"][:, None, :],
+            a_pos = align(c["sample_pos"], 0.0)
+            a_int = align(c["sample_int"], 0.0)
+            out["pos_st"] = jnp.where(sel[None], a_pos[:, None, :],
                                       c["pos_st"])
-            out["int_st"] = jnp.where(sel, c["sample_int"][None, :],
-                                      c["int_st"])
+            out["int_st"] = jnp.where(sel, a_int[None, :], c["int_st"])
         return out
 
     def body(c):
@@ -594,6 +705,10 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         return finish_samples(c, ended)
 
     out = jax.lax.while_loop(cond, body, init)
+    if os.environ.get("TRACER_DEBUG_STASH"):
+        # diagnostics only: expose the raw loop state (e.g. per-item
+        # stores) so tests/probes can compare schedules slot-by-slot
+        render_pooled._debug_out = out
 
     # ------------------------------------------------------------------
     # Binning: store row m maps lane k -> pixel (bin_shifts[m] + k) mod n
