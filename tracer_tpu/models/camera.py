@@ -6,11 +6,17 @@ sample picks a channel uniformly and draws its hero wavelength by inverse
 transform sampling (probit) of that normal (camera.fut:68-79); ray
 generation is a jittered thin-lens model (camera.fut:81-110).
 
-Deviation from the reference (documented): sample_camera_ray there reuses
-one rng for both the pixel jitter and the lens disk without advancing
-(camera.fut:86-102), correlating defocus with antialiasing. We draw
-independent uniforms; since every built-in config has aperture = 0 the
-lens term vanishes in all stock configurations anyway.
+The reference's sample_camera_ray reuses ONE rng for both the pixel
+jitter and the lens disk (camera.fut:86-102): random_in_unit_square and
+random_in_unit_disk start from the same state, so theta is the jitter-x
+draw mapped to [0, 2pi) and the disk radius^2 IS the jitter-y draw.
+sample_ray reproduces that correlation exactly by deriving the lens
+sample from the same (ox, oy) pair (no extra draws). Remaining
+documented deviation: the reference also hands the SAME pre-camera rng
+on to path_trace (integrator.fut:86-101), so its first path decision
+repeats the jitter draw; our path continues from the post-jitter
+stream — statistically inert (the repeated draw only correlates the
+measure-zero pairing of jitter with the first NEE light pick).
 """
 
 from __future__ import annotations
@@ -121,6 +127,14 @@ def sample_ray(state, cam: Camera, wh, jx, iy):
     x = (jx + ox * conf.offset_radius) / w_f
     y = (iy + oy * conf.offset_radius) / h_f
 
+    # lens disk from the SAME draws as the jitter (camera.fut:86-102
+    # reuses one rng for both): theta is the jitter-x draw remapped from
+    # [0, 0.9999) to [0, 2pi), r^2 is the jitter-y draw — exactly the
+    # reference's random_in_unit_disk on the pre-jitter state
+    theta = ox * (2.0 * jnp.pi / prng.UNIT_SCALE)
+    lr = jnp.sqrt(oy)
+    lx, ly = lr * jnp.cos(theta), lr * jnp.sin(theta)
+
     lens_radius = conf.aperture / 2.0
     half_height = jnp.tan(conf.field_of_view / 2.0)
     half_width = ratio * half_height
@@ -137,7 +151,6 @@ def sample_ray(state, cam: Camera, wh, jx, iy):
     horizontal = (2.0 * half_width * fd) * u
     vertical = (2.0 * half_height * fd) * v
 
-    state, (lx, ly) = prng.in_unit_disk_xy(state)
     lens_offset = (lens_radius * lx) * u + (lens_radius * ly) * v
     origin = origin0 + lens_offset
     target = lower_left + x * horizontal + y * vertical
