@@ -34,8 +34,11 @@ echo "probe ok"
 # 1. Warm bench sanity (first run after the timing-sink change
 #    cold-compiles: minutes through the remote-compile tunnel).
 step 01 bench64 3200 env BENCH_SPP=64 python bench.py
-# 2. Headline at default spp (what the driver captures).
+# 2. Headline at default spp (what the driver captures) — now with ring
+#    stealing on by default — then the steal0 A/B (CPU schedule replay
+#    predicts ~14% fewer iterations at cornell-256's occupancy 0.863).
 step 02 bench256 3200 python bench.py
+step 02b bench256-steal0 3200 env TRACER_STEAL_D=0 python bench.py
 # 3. Big-scene validation: x6 scores + two-level cull at 2.23M tris
 #    (VERDICT #5 done-criterion: hit-for-hit vs the XLA oracle on TPU).
 step 03 bigscene-l4 3000 python benchmarks/bigscene_check.py --levels 4
@@ -49,5 +52,8 @@ step 06 profile-spectrum 2400 env PROFILE_POOL=1 python benchmarks/profile_bounc
 #    winners get folded into code defaults by hand afterwards.
 step 07 sweep-kernel 7200 python benchmarks/sweep_spectrum.py
 step 08 sweep-e2e 7200 python benchmarks/sweep_spectrum.py --e2e
+# 7. README artifact for the redesigned prism scene (through-prism
+#    dispersion band; see docs/PARITY.md "Prism comparison").
+step 09 prism-doc 1200 python benchmarks/render_doc_images.py
 
 echo "queue complete ($(date -u +%H:%M:%S)); logs in /tmp/tpuq/"

@@ -66,19 +66,45 @@ def cornell_like():
     return (np.asarray(tris, np.float32), np.asarray(tm, np.uint32), mats)
 
 
+# Through-prism dispersion band: fractional (row, col) screen region at
+# the stock camera (origin (0, 0.9, 2.6), conf 0) where the refracted
+# image of the ceiling strip lands. Derived from the 2D cross-section
+# trace used to place the light (see prism_scene) and confirmed by
+# render: per-channel row centroids at 128x128 are R 57.8, G 58.6,
+# B 59.2 (R above B, ~1.4px apart). The rows window is tight around the
+# band — the band's position is a deterministic function of the fixed
+# geometry, and a loose window lets caustic fireflies dilute the
+# centroid separation.
+PRISM_BAND_ROWS = (0.43, 0.505)
+PRISM_BAND_COLS = (0.36, 0.64)
+
+
 def prism_scene():
     """Glass-prism dispersion scene in the spirit of the reference's
-    golden prism-dispersion.png (README.org:8): a bright narrow strip
-    light shines through a triangular glass prism onto the floor; the
-    wavelength-dependent refractive index (material.fut:38-41 dispersion
-    hack) fans the hero wavelengths into a rainbow caustic."""
+    golden prism-dispersion.png (README.org:8): a ceiling strip light
+    seen THROUGH a triangular glass prism; the wavelength-dependent
+    refractive index (material.fut:38-41 dispersion hack) fans the hero
+    wavelengths so the light's refracted image is a rainbow band, red
+    above blue.
+
+    Design notes (2D cross-section trace, this repo's history): the
+    prism is extruded along x with an apex-DOWN cross-section in (y, z)
+    so camera rays (origin (0, 0.9, 2.6), looking -z) enter the lower
+    front face near minimum deviation and exit up-back toward the
+    ceiling; a strip at z ~ -0.6 intercepts the exit fan where
+    d(exit)/d(entry) is flat, which amplifies the per-wavelength row
+    separation to ~1.5px at 128^2 (R->B) across a ~35px-wide band. A
+    floor caustic exists too but converges ~1000x slower (the reference
+    accumulated 76,700 frames for its golden image) — the through-prism
+    band is the statistic a committed golden can pin."""
     white, red = (0.73, 0.71, 0.68), (0.63, 0.065, 0.05)
     mats = np.stack([
         mat_row(kd=white),                                    # 0 walls
         mat_row(kd=red),                                      # 1 left wall
-        # glass: pure specular transmission, strong dispersion
+        # glass: pure specular transmission with the stock dispersion
+        # slope; n = 1.5 keeps the exit below total internal reflection
         mat_row(kd=(0, 0, 0), roughness=0.0, metalness=0.0,
-                ref_ix=1.6, opacity=0.0),                     # 2 prism
+                ref_ix=1.5, opacity=0.0),                     # 2 prism
         mat_row(ke=(60.0, 60.0, 60.0)),                       # 3 strip light
     ])
     tris, tm = [], []
@@ -93,20 +119,22 @@ def prism_scene():
     add(quad([-1, 0, 1], [-1, 0, -1], [-1, 2, -1], [-1, 2, 1]), 1)  # left
     add(quad([1, 0, -1], [1, 0, 1], [1, 2, 1], [1, 2, -1]), 0)      # right
 
-    # triangular prism: apex-up cross-section in xy, extruded along z
-    a0, a1 = [-0.35, 0.7, 0], [0.35, 0.7, 0]   # base corners (x, y)
-    ap = [0.0, 1.35, 0]                        # apex
-    z0, z1 = -0.35, 0.35
-    p = lambda v, z: [v[0], v[1], z]
-    add([[p(a0, z0), p(a1, z0), p(ap, z0)]], 2)                    # cap z0
-    add([[p(a1, z1), p(a0, z1), p(ap, z1)]], 2)                    # cap z1
-    add(quad(p(a0, z0), p(a0, z1), p(ap, z1), p(ap, z0)), 2)       # left face
-    add(quad(p(a1, z1), p(a1, z0), p(ap, z0), p(ap, z1)), 2)       # right face
-    add(quad(p(a0, z1), p(a0, z0), p(a1, z0), p(a1, z1)), 2)       # bottom
-
-    # narrow bright strip light high on the left, aimed across the prism
-    add(quad([-0.95, 1.9, -0.1], [-0.95, 1.9, 0.1],
-             [-0.75, 1.98, 0.1], [-0.75, 1.98, -0.1]), 3)
+    # triangular prism: apex-DOWN cross-section in (y, z), extruded
+    # along x; the camera below looks up through the apex wedge
+    ap = [0.95, 0.0]                 # apex (y, z)
+    bf = [1.55, 0.33]                # base corner, front (+z)
+    br = [1.55, -0.33]               # base corner, rear (-z)
+    x0, x1 = -0.7, 0.7
+    p = lambda v, x: [x, v[0], v[1]]
+    add([[p(ap, x0), p(bf, x0), p(br, x0)]], 2)                    # cap x0
+    add([[p(ap, x1), p(br, x1), p(bf, x1)]], 2)                    # cap x1
+    add(quad(p(ap, x0), p(ap, x1), p(bf, x1), p(bf, x0)), 2)       # front
+    add(quad(p(ap, x1), p(ap, x0), p(br, x0), p(br, x1)), 2)       # rear
+    add(quad(p(bf, x0), p(bf, x1), p(br, x1), p(br, x0)), 2)       # base
+    # ceiling strip light placed where the near-minimum-deviation exit
+    # fan crosses the ceiling (2D trace: z = -0.6 maximizes separation)
+    add(quad([-0.8, 1.99, -0.55], [-0.8, 1.99, -0.65],
+             [0.8, 1.99, -0.65], [0.8, 1.99, -0.55]), 3)
 
     return (np.asarray(tris, np.float32), np.asarray(tm, np.uint32), mats)
 
