@@ -127,12 +127,14 @@ def main():
     for name, env in COMBOS:
         if want is not None and name not in want:
             continue
-        if "TRACER_POOL_TARGET" in env and not args.e2e and want is None:
-            # pool size only affects the integrator's iteration structure;
-            # profile_bounce never reads it, so in the default query-level
-            # sweep these rows would just re-measure their pool-less twin
-            # under a misleading label (and burn TPU minutes doing it).
-            print(f"{name:16s}  SKIPPED (pool combos need --e2e)",
+        integ_only = {"TRACER_POOL_TARGET", "TRACER_STEAL_D"} & set(env)
+        if integ_only and not args.e2e and want is None:
+            # pool size / work-stealing only affect the integrator's
+            # iteration structure; profile_bounce never reads them, so in
+            # the default query-level sweep these rows would just
+            # re-measure their knob-less twin under a misleading label
+            # (and burn TPU minutes doing it).
+            print(f"{name:16s}  SKIPPED (integrator combos need --e2e)",
                   flush=True)
             continue
         full = dict(os.environ, **env)

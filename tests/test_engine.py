@@ -383,7 +383,7 @@ def test_ring_stealing_equivalence(monkeypatch):
     s = cornell_state(16, 16)
     w, h = s.sub_dims
 
-    def render(steal, target=None, spp=8, mode="color", pts=False):
+    def render(steal, target=None, spp=4, mode="color", pts=False):
         if target:
             monkeypatch.setenv("TRACER_POOL_TARGET", str(target))
         else:

@@ -409,10 +409,6 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         s=jnp.full((pool,), -1, jnp.int32),    # sample index of the item
         base=jnp.full((pool,), n - pool, jnp.int32),
         pix=(lane - jnp.int32(pool) - jnp.int32(stride)) % jnp.int32(n),
-        issued=jnp.zeros((pool,), jnp.int32),  # items issued per OWNER
-        row=jnp.zeros((pool,), jnp.int32),     # executing item's index m
-        doff=jnp.zeros((pool,), jnp.int32),    # executing item's owner off
-        pending=jnp.zeros((pool,), bool),      # finished, write deferred
         o=jnp.zeros((3, pool), jnp.float32),
         d=jnp.zeros((3, pool), jnp.float32),
         po=jnp.zeros((3, pool), jnp.float32),  # primary ray (for points)
@@ -425,6 +421,14 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         rays=jnp.int32(0),
         it=jnp.int32(0),
     )
+    if steal_offsets:
+        # RING WORK-STEALING state; absent at TRACER_STEAL_D=0 so the
+        # disabled setting emits the exact pre-stealing graph (the A/B
+        # control carries no extra loop state or selects)
+        init["issued"] = jnp.zeros((pool,), jnp.int32)  # issued per OWNER
+        init["row"] = jnp.zeros((pool,), jnp.int32)   # executing item's m
+        init["doff"] = jnp.zeros((pool,), jnp.int32)  # item's owner offset
+        init["pending"] = jnp.zeros((pool,), bool)    # write deferred
     # Accumulation state. qrot: n_q ACCUMULATING rows — row q holds the
     # running merge of every sample at phase s mod Q (color: channel-
     # folded sum; distance: first-in-s return; points: min-d return).
@@ -492,35 +496,48 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         then item-exhausted lanes steal the next unstarted item of the
         owner at each ring offset (RING WORK-STEALING note above). Owner
         cursors/ids move to the claiming lane by rolls — no gathers."""
-        idle = (~c["active"]) & (~c["pending"])
-        o_base, o_s, o_pix = c["base"], c["s"], c["pix"]
-        issued = c["issued"]
-        started = jnp.zeros((pool,), bool)
-        row_x, doff_x = c["row"], c["doff"]
-        pix_x, s_x = o_pix, o_s           # filler for non-claiming lanes
-        for dlt in (0,) + steal_offsets:
-            base_adv, s_adv, pix_adv = _advance(o_base, o_s, o_pix)
-            has = issued < m_items
-            if dlt == 0:
-                cand_h = idle & has        # helper == owner: own item
-                cand_o = cand_h
-                row_c, pix_c, s_c = issued, pix_adv, s_adv
-            else:
-                cand_h = idle & ~started & jnp.roll(has, -dlt)
-                cand_o = jnp.roll(cand_h, dlt)
-                row_c = jnp.roll(issued, -dlt)
-                pix_c = jnp.roll(pix_adv, -dlt)
-                s_c = jnp.roll(s_adv, -dlt)
-            started = started | cand_h
-            o_base = jnp.where(cand_o, base_adv, o_base)
-            o_s = jnp.where(cand_o, s_adv, o_s)
-            o_pix = jnp.where(cand_o, pix_adv, o_pix)
-            issued = issued + cand_o.astype(jnp.int32)
-            row_x = jnp.where(cand_h, row_c, row_x)
-            pix_x = jnp.where(cand_h, pix_c, pix_x)
-            s_x = jnp.where(cand_h, s_c, s_x)
-            doff_x = jnp.where(cand_h, jnp.int32(dlt), doff_x)
-        start = started
+        if steal_offsets:
+            idle = (~c["active"]) & (~c["pending"])
+            o_base, o_s, o_pix = c["base"], c["s"], c["pix"]
+            issued = c["issued"]
+            started = jnp.zeros((pool,), bool)
+            row_x, doff_x = c["row"], c["doff"]
+            pix_x, s_x = o_pix, o_s       # filler for non-claiming lanes
+            for dlt in (0,) + steal_offsets:
+                base_adv, s_adv, pix_adv = _advance(o_base, o_s, o_pix)
+                has = issued < m_items
+                if dlt == 0:
+                    cand_h = idle & has    # helper == owner: own item
+                    cand_o = cand_h
+                    row_c, pix_c, s_c = issued, pix_adv, s_adv
+                else:
+                    cand_h = idle & ~started & jnp.roll(has, -dlt)
+                    cand_o = jnp.roll(cand_h, dlt)
+                    row_c = jnp.roll(issued, -dlt)
+                    pix_c = jnp.roll(pix_adv, -dlt)
+                    s_c = jnp.roll(s_adv, -dlt)
+                started = started | cand_h
+                o_base = jnp.where(cand_o, base_adv, o_base)
+                o_s = jnp.where(cand_o, s_adv, o_s)
+                o_pix = jnp.where(cand_o, pix_adv, o_pix)
+                issued = issued + cand_o.astype(jnp.int32)
+                row_x = jnp.where(cand_h, row_c, row_x)
+                pix_x = jnp.where(cand_h, pix_c, pix_x)
+                s_x = jnp.where(cand_h, s_c, s_x)
+                doff_x = jnp.where(cand_h, jnp.int32(dlt), doff_x)
+            start = started
+            cursor_out = dict(pix=o_pix, base=o_base, s=o_s,
+                              issued=issued, row=row_x, doff=doff_x)
+        else:
+            # static partition (the exact pre-stealing graph): each lane
+            # claims only its own next item; the store row is its done
+            # counter
+            start = (~c["active"]) & (c["done"] < m_items)
+            base_adv, s_adv, pix_adv = _advance(c["base"], c["s"], c["pix"])
+            o_base = jnp.where(start, base_adv, c["base"])
+            s_x = jnp.where(start, s_adv, c["s"])
+            pix_x = jnp.where(start, pix_adv, c["pix"])
+            cursor_out = dict(pix=pix_x, base=o_base, s=s_x)
 
         jx = (pix_x % w).astype(jnp.float32)
         iy_row = (pix_x // w).astype(jnp.float32) + jnp.asarray(
@@ -544,8 +561,7 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         out = dict(c, rng=upd(c["rng"], rng2),
                    active=c["active"] | start,
                    bounce=upd(c["bounce"], 0),
-                   pix=o_pix, base=o_base, s=o_s,
-                   issued=issued, row=row_x, doff=doff_x,
+                   **cursor_out,
                    o=upd(c["o"], o_new), d=upd(c["d"], d_new),
                    po=upd(c["po"], o_new), pd=upd(c["pd"], d_new),
                    wavelen=upd(c["wavelen"], wavelen),
@@ -564,33 +580,42 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         it into store row `row` (its item index). A stolen item's result
         is first rolled to its OWNER's column; at most one result per
         column merges per iteration — losers wait in `pending`."""
-        # arbitration: self-results always win their own column, then
-        # ring offsets in ascending order; one write per column per iter
-        pend = ended | c["pending"]
-        fin = pend & (c["doff"] == 0)
-        col_taken = fin
-        for dlt in steal_offsets:
-            want = pend & (c["doff"] == dlt) & ~jnp.roll(col_taken, -dlt)
-            fin = fin | want
-            col_taken = col_taken | jnp.roll(want, dlt)
-
-        def align(vec, neutral):
-            """Move finishing lanes' values to their owner's column."""
-            out_v = jnp.where(fin & (c["doff"] == 0), vec, neutral)
+        if steal_offsets:
+            # arbitration: self-results always win their own column, then
+            # ring offsets in ascending order; one write/column/iter
+            pend = ended | c["pending"]
+            fin = pend & (c["doff"] == 0)
+            col_taken = fin
             for dlt in steal_offsets:
-                md = jnp.roll(fin & (c["doff"] == dlt), dlt)
-                out_v = jnp.where(md, jnp.roll(vec, dlt, axis=-1), out_v)
-            return out_v
+                want = pend & (c["doff"] == dlt) & ~jnp.roll(col_taken, -dlt)
+                fin = fin | want
+                col_taken = col_taken | jnp.roll(want, dlt)
 
-        a_end = col_taken                      # column received a result
-        a_row = align(c["row"], 0)
+            def align(vec, neutral):
+                """Move finishing lanes' values to their owner's column."""
+                out_v = jnp.where(fin & (c["doff"] == 0), vec, neutral)
+                for dlt in steal_offsets:
+                    md = jnp.roll(fin & (c["doff"] == dlt), dlt)
+                    out_v = jnp.where(md, jnp.roll(vec, dlt, axis=-1), out_v)
+                return out_v
+
+            a_end = col_taken                  # column received a result
+            a_row = align(c["row"], 0)
+            extra = dict(pending=pend & ~fin)
+        else:
+            # static partition: lane == owner, every result merges now
+            # and the store row is the lane's done counter (the exact
+            # pre-stealing graph)
+            align = lambda vec, neutral: vec
+            a_end = ended
+            a_row = c["done"]
+            extra = {}
         a_rad = align(c["sample_rad"], 0.0)
         a_chan = align(c["chan"], 0)
         a_mind = align(c["sample_min_d"], jnp.inf)
 
         out = dict(c, done=c["done"] + a_end.astype(jnp.int32),
-                   active=c["active"] & ~ended,
-                   pending=pend & ~fin)
+                   active=c["active"] & ~ended, **extra)
         if qrot:
             sel = (srow == (a_row % n_q)[None, :]) & a_end[None, :]
             if color_mode:
@@ -705,10 +730,6 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         return finish_samples(c, ended)
 
     out = jax.lax.while_loop(cond, body, init)
-    if os.environ.get("TRACER_DEBUG_STASH"):
-        # diagnostics only: expose the raw loop state (e.g. per-item
-        # stores) so tests/probes can compare schedules slot-by-slot
-        render_pooled._debug_out = out
 
     # ------------------------------------------------------------------
     # Binning: store row m maps lane k -> pixel (bin_shifts[m] + k) mod n

@@ -32,11 +32,12 @@ SAMPLE_AXIS = "sample"
 # otherwise freeze the first call's knob values into the executable and
 # silently ignore later changes (e.g. a pool-size sweep setting
 # TRACER_POOL_TARGET between calls).
-_TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_TILE_N",
-                "TRACER_TILE_N_ANY", "TRACER_APPROX_RECIP",
-                "TRACER_MXU_PACK", "TRACER_COEFF_LAYOUT",
-                "TRACER_STREAM_COEFFS", "TRACER_CHUNK_T",
-                "TRACER_MXU_PRECISION", "TRACER_NO_PALLAS")
+_TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_STEAL_D",
+                "TRACER_TILE_N", "TRACER_TILE_N_ANY",
+                "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
+                "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
+                "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
+                "TRACER_NO_PALLAS")
 
 
 def _knob_key() -> tuple:
