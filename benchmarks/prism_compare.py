@@ -33,9 +33,12 @@ Usage:
   dispersion_stats on the through-prism band region)
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def band_stats(img, floor_from=0.55, x_from=0.0, sat_min=0.35,
@@ -126,11 +129,26 @@ def load(path):
 
 
 def main():
-    for path in sys.argv[1:]:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("images", nargs="+")
+    ap.add_argument("--floor", action="store_true",
+                    help="force the floor-caustic statistic (band_stats);"
+                         " needs a converged caustic, e.g. the"
+                         " reference's 76,700-frame screenshot")
+    ap.add_argument("--band", action="store_true",
+                    help="force the through-prism band statistic"
+                         " (dispersion_stats); for renders of"
+                         " testscenes.prism_scene at any spp")
+    args = ap.parse_args()
+    for path in args.images:
         img = load(path)
-        if path.endswith(".png"):
-            # reference screenshot: floor-caustic statistic, excluding
-            # its red left wall like the recorded golden numbers
+        # provenance default: the reference screenshot is the only image
+        # with a converged floor caustic; every render of OUR prism
+        # scene (npz golden or regenerated docs png) uses the
+        # fast-converging through-prism band
+        floor = args.floor or (not args.band and "reference" in path)
+        if floor:
             x_from = 0.45 if "reference" in path else 0.0
             st = band_stats(img, x_from=x_from)
             if st is None:

@@ -54,6 +54,6 @@ step 07 sweep-kernel 7200 python benchmarks/sweep_spectrum.py
 step 08 sweep-e2e 7200 python benchmarks/sweep_spectrum.py --e2e
 # 7. README artifact for the redesigned prism scene (through-prism
 #    dispersion band; see docs/PARITY.md "Prism comparison").
-step 09 prism-doc 1200 python benchmarks/render_doc_images.py
+step 09 prism-doc 1200 python benchmarks/render_doc_images.py --spp 2048
 
 echo "queue complete ($(date -u +%H:%M:%S)); logs in /tmp/tpuq/"

@@ -101,17 +101,19 @@ def test_knob_key_covers_trace_knobs(monkeypatch):
     """Every env knob that changes the traced graph must be part of the
     cached-executable key, or a later call with a different setting
     silently reuses the stale executable. Pin the full documented knob
-    list (docs/PARITY.md config/flags row) minus the non-trace ones."""
-    base = par._knob_key()
+    list (docs/PARITY.md config/flags row) minus the non-trace ones.
+    Each knob is compared between two set values so an ambient setting
+    in the invoking shell cannot make the assertion vacuous."""
     for knob in ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_STEAL_D",
                  "TRACER_TILE_N", "TRACER_TILE_N_ANY",
                  "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
                  "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
                  "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
                  "TRACER_NO_PALLAS"):
-        monkeypatch.setenv(knob, "__sentinel__")
-        assert par._knob_key() != base, knob
-        monkeypatch.delenv(knob)
+        monkeypatch.setenv(knob, "__a__")
+        k1 = par._knob_key()
+        monkeypatch.setenv(knob, "__b__")
+        assert par._knob_key() != k1, knob
 
 
 @needs8

@@ -70,8 +70,11 @@ def init(seed: int, h: int, w: int, cam_conf_id: int,
 # ---------------------------------------------------------------------------
 # step (lib.fut:111-118)
 
-@jax.jit
-def _step_core(s: EngineState) -> EngineState:
+@partial(jax.jit, static_argnames=("knobs",))
+def _step_core(s: EngineState, knobs=()) -> EngineState:
+    # `knobs` (integrator.knob_key()) keys the jit cache on the env knobs
+    # that render_pooled reads at trace time, so an in-process knob
+    # change retraces instead of reusing the stale executable
     w, h = s.sub_dims
     # a 1-spp frame through the pooled wavefront: for frames above the
     # pool cap the lane pool cycles over pixels (integrator.POOL_TARGET),
@@ -96,7 +99,7 @@ def step(s: EngineState) -> EngineState:
     if s.img.shape[:2] != (s.sub_dims[1], s.sub_dims[0]):
         s = s.replace(img=jnp.zeros(
             (s.sub_dims[1], s.sub_dims[0], 3), jnp.float32))
-    return _step_core(s)
+    return _step_core(s, knobs=integrator.knob_key())
 
 
 # ---------------------------------------------------------------------------
@@ -201,8 +204,8 @@ def key(event: int, keycode: int, s: EngineState) -> EngineState:
 # ---------------------------------------------------------------------------
 # sample_n_frames (lib.fut:67-74)
 
-@partial(jax.jit, static_argnames=("spp",))
-def _render_pooled_core(s: EngineState, nonce, spp: int):
+@partial(jax.jit, static_argnames=("spp", "knobs"))
+def _render_pooled_core(s: EngineState, nonce, spp: int, knobs=()):
     w, h = s.sub_dims
     out = integrator.render_pooled(
         s.seed, nonce, s.scene, s.cam, s.ambience, w, h,
@@ -219,16 +222,18 @@ def sample_n_frames(s: EngineState, n: int):
     discards frame 1, integrator.fut:190-192), and the pool draws exactly
     the camera-sample streams those frames would use."""
     n = int(n)
+    knobs = integrator.knob_key()
     if n <= 1:
-        return _render_pooled_core(s, s.nonce, 1)
-    return _render_pooled_core(s, s.nonce + jnp.uint32(1), n - 1)
+        return _render_pooled_core(s, s.nonce, 1, knobs=knobs)
+    return _render_pooled_core(s, s.nonce + jnp.uint32(1), n - 1,
+                               knobs=knobs)
 
 
 # ---------------------------------------------------------------------------
 # sample_points_n (lib.fut:35-63)
 
-@partial(jax.jit, static_argnames=("spp",))
-def _sample_points_core(s: EngineState, spp: int):
+@partial(jax.jit, static_argnames=("spp", "knobs"))
+def _sample_points_core(s: EngineState, spp: int, knobs=()):
     w, h = s.sub_dims
     out = integrator.render_pooled(
         s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
@@ -242,4 +247,5 @@ def sample_points_n(s: EngineState, samples_per_pixel: int):
     """LiDAR batch capture: spp wavefronts, closest valid return per pixel
     in the [0.5, 10) window, intensity scaled by 1/spp (lib.fut:35-63).
     Returns (new_state, (h, w, 4) f32 [x, y, z, intensity])."""
-    return _sample_points_core(s, int(samples_per_pixel))
+    return _sample_points_core(s, int(samples_per_pixel),
+                               knobs=integrator.knob_key())

@@ -233,6 +233,24 @@ def sample_pixels(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
 # P-cycling needs the full item machinery anyway).
 # Measured on cornell-256spp: Q=4: 236, Q=8: 245, Q=16: 252, Q=32: 236
 # Mrays/s (load-averaging saturates, then store adds dominate).
+# Env knobs read at TRACE time anywhere under render_pooled (here and in
+# the intersection kernels). Every cached jitted executable of the
+# renderer must include knob_key() in its cache key, or a knob change
+# after the first call silently reuses the stale executable
+# (tests/test_parallel.py::test_knob_key_covers_trace_knobs).
+TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_STEAL_D",
+               "TRACER_TILE_N", "TRACER_TILE_N_ANY",
+               "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
+               "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
+               "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
+               "TRACER_NO_PALLAS")
+
+
+def knob_key() -> tuple:
+    """Hashable key of every trace-time env knob (for jit cache keys)."""
+    return tuple(os.environ.get(k, "") for k in TRACE_KNOBS)
+
+
 ROT_Q_DEFAULT = 16
 
 

@@ -32,17 +32,9 @@ SAMPLE_AXIS = "sample"
 # otherwise freeze the first call's knob values into the executable and
 # silently ignore later changes (e.g. a pool-size sweep setting
 # TRACER_POOL_TARGET between calls).
-_TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_STEAL_D",
-                "TRACER_TILE_N", "TRACER_TILE_N_ANY",
-                "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
-                "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
-                "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
-                "TRACER_NO_PALLAS")
-
-
-def _knob_key() -> tuple:
-    import os
-    return tuple(os.environ.get(k, "") for k in _TRACE_KNOBS)
+# the canonical trace-knob list lives next to the knob readers
+_TRACE_KNOBS = integrator.TRACE_KNOBS
+_knob_key = integrator.knob_key
 
 
 def make_mesh(n_tile: int, n_sample: int = 1, devices=None) -> Mesh:
