@@ -52,12 +52,18 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 TILE_N = 2048     # rays per tile (lanes); override via TRACER_TILE_N
 
 
+def _round_tile(v: int) -> int:
+    """Lane tiles must be multiples of the 128-lane vreg width (the
+    (1, N) rank-2 per-lane carriers make any 128-multiple legal)."""
+    return max(128, -(-v // 128) * 128)
+
+
 def _tile_n() -> int:
     """Per-call tile width. Smaller tiles cull better (a tile's chunk
     schedule covers the union of its rays' reachable sets) at the cost
     of more per-tile fixed work (phi pack, schedule walk)."""
     import os
-    return int(os.environ.get("TRACER_TILE_N", str(TILE_N)))
+    return _round_tile(int(os.environ.get("TRACER_TILE_N", str(TILE_N))))
 
 
 def _tile_n_any() -> int:
@@ -70,14 +76,18 @@ def _tile_n_any() -> int:
     (benchmarks/schedule_stats.py)."""
     import os
     v = os.environ.get("TRACER_TILE_N_ANY")
-    return int(v) if v else _tile_n()
+    return _round_tile(int(v)) if v else _tile_n()
 
 
 def _approx_recip() -> bool:
-    """TRACER_APPROX_RECIP=1: hardware-approximate reciprocal in the
-    closest epilogue (see _scores). Off by default pending measurement."""
+    """TRACER_APPROX_RECIP: hardware-approximate reciprocal in the
+    closest epilogue (see _scores). ON by default (=0 opts out):
+    measured +16% end-to-end on the spectrum config (47.4 -> 54.9
+    Mrays/s, 2026-08-19) and every accepted hit is re-verified by the
+    exact elementwise _reintersect, so approximation can only shuffle
+    near-tie winners, never admit a false hit."""
     import os
-    return os.environ.get("TRACER_APPROX_RECIP", "") == "1"
+    return os.environ.get("TRACER_APPROX_RECIP", "1") != "0"
 # Max schedule entries per tile: chunks group into superchunks of
 # g = ceil(n_chunks / MAX_SCHED) so the SMEM order table is (n_tiles,
 # <=MAX_SCHED) int32 and the XLA-side schedule build is O(MAX_SCHED * N)
@@ -407,7 +417,7 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
     is a superset of every member test."""
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
-    tmax = tmax_ref[:]
+    tmax = tmax_ref[0, :]
     best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
     best_i_ref[:] = jnp.zeros(best_i_ref.shape, jnp.int32)
 
@@ -415,7 +425,7 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
 
     def visit(ci, in_range):
         ci = jnp.minimum(ci, n_chunks - 1)
-        upper = jnp.minimum(tmax, best_t_ref[:])
+        upper = jnp.minimum(tmax, best_t_ref[0, :])
         may_hit = _chunk_cull(phi, bounds_ref, ci, upper)
 
         @pl.when(in_range & jnp.any(may_hit))
@@ -427,9 +437,9 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
             valid, t = _scores(coeffs, phi_cat, tmax, lane_major)
             loc_t = jnp.min(t, axis=0)
             loc_i = jnp.argmin(t, axis=0).astype(jnp.int32) + ci * chunk_t
-            better = loc_t < best_t_ref[:]
-            best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
-            best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+            better = loc_t < best_t_ref[0, :]
+            best_t_ref[0, :] = jnp.where(better, loc_t, best_t_ref[0, :])
+            best_i_ref[0, :] = jnp.where(better, loc_i, best_i_ref[0, :])
 
     if g == 1:
         def body(rr, _):
@@ -441,7 +451,7 @@ def _closest_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
     else:
         def super_body(r, _):
             si = order_ref[ti, r]
-            upper = jnp.minimum(tmax, best_t_ref[:])
+            upper = jnp.minimum(tmax, best_t_ref[0, :])
 
             @pl.when(jnp.any(_chunk_cull(phi, sbounds_ref, si, upper)))
             def _():
@@ -463,14 +473,15 @@ def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
                 order_ref, count_ref, hit_ref):
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
-    tmax = tmax_ref[:]
-    hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.bool_)
+    tmax = tmax_ref[0, :]
+    # int32 carrier: a (1, N) bool output would need i8 (32,128) tiling
+    hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.int32)
 
     ti = pl.program_id(0)
 
     def visit(ci, in_range):
         ci = jnp.minimum(ci, n_chunks - 1)
-        may_hit = _chunk_cull(phi, bounds_ref, ci, tmax) & ~hit_ref[:]
+        may_hit = _chunk_cull(phi, bounds_ref, ci, tmax) & (hit_ref[0, :] == 0)
 
         @pl.when(in_range & jnp.any(may_hit))
         def _():
@@ -479,7 +490,8 @@ def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
             else:
                 coeffs = coeffs_ref[pl.ds(ci * 4 * chunk_t, 4 * chunk_t), :]
             valid = _scores_any(coeffs, phi_cat, tmax, lane_major)
-            hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
+            hit_ref[0, :] = (hit_ref[0, :]
+                             | jnp.any(valid, axis=0).astype(jnp.int32))
 
     if g == 1:
         def body(rr, _):
@@ -491,7 +503,8 @@ def _any_kernel(g: int, n_chunks: int, chunk_t: int, lane_major: bool,
     else:
         def super_body(r, _):
             si = order_ref[ti, r]
-            alive = _chunk_cull(phi, sbounds_ref, si, tmax) & ~hit_ref[:]
+            alive = (_chunk_cull(phi, sbounds_ref, si, tmax)
+                     & (hit_ref[0, :] == 0))
 
             @pl.when(jnp.any(alive))
             def _():
@@ -563,7 +576,7 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
     superchunk still double-buffer)."""
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
-    tmax = tmax_ref[:]
+    tmax = tmax_ref[0, :]
     best_t_ref[:] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
     best_i_ref[:] = jnp.zeros(best_i_ref.shape, jnp.int32)
 
@@ -588,9 +601,9 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
             loc_t = jnp.min(t, axis=0)
             loc_i = (jnp.argmin(t, axis=0).astype(jnp.int32)
                      + ci * chunk_t)
-            better = loc_t < best_t_ref[:]
-            best_t_ref[:] = jnp.where(better, loc_t, best_t_ref[:])
-            best_i_ref[:] = jnp.where(better, loc_i, best_i_ref[:])
+            better = loc_t < best_t_ref[0, :]
+            best_t_ref[0, :] = jnp.where(better, loc_t, best_t_ref[0, :])
+            best_i_ref[0, :] = jnp.where(better, loc_i, best_i_ref[0, :])
 
         if g == 1:
             total = count_ref[ti]
@@ -605,7 +618,7 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
                 dma(chunk_id(0), 0).start()
 
             def loop(rr, started):
-                upper = jnp.minimum(tmax, best_t_ref[:])
+                upper = jnp.minimum(tmax, best_t_ref[0, :])
                 m_next = (rr + 1 < total) & may(chunk_id(rr + 1), upper)
 
                 @pl.when(m_next)
@@ -623,19 +636,19 @@ def _closest_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
         else:
             def super_body(r, _):
                 si = order_ref[ti, r]
-                upper0 = jnp.minimum(tmax, best_t_ref[:])
+                upper0 = jnp.minimum(tmax, best_t_ref[0, :])
 
                 @pl.when(jnp.any(_chunk_cull(phi, sbounds_ref, si, upper0)))
                 def _():
                     base = si * g
-                    m0 = may(base, jnp.minimum(tmax, best_t_ref[:]))
+                    m0 = may(base, jnp.minimum(tmax, best_t_ref[0, :]))
 
                     @pl.when(m0)
                     def _():
                         dma(base, 0).start()
 
                     def member(j, started):
-                        upper = jnp.minimum(tmax, best_t_ref[:])
+                        upper = jnp.minimum(tmax, best_t_ref[0, :])
                         m_next = (j + 1 < g) & may(base + j + 1, upper)
 
                         @pl.when(m_next)
@@ -667,8 +680,9 @@ def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
                          sbounds_ref, order_ref, count_ref, hit_ref):
     phi = phi_ref[:]
     phi_cat = _pack_phi(phi, splits)
-    tmax = tmax_ref[:]
-    hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.bool_)
+    tmax = tmax_ref[0, :]
+    # int32 carrier: a (1, N) bool output would need i8 (32,128) tiling
+    hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.int32)
 
     ti = pl.program_id(0)
     rows = 4 * chunk_t
@@ -684,11 +698,12 @@ def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
             ok = ci < n_chunks
             ci = jnp.minimum(ci, n_chunks - 1)
             return ok & jnp.any(_chunk_cull(phi, bounds_ref, ci, tmax)
-                                & ~hit_ref[:])
+                                & (hit_ref[0, :] == 0))
 
         def compute(slot):
             valid = _scores_any(scratch[slot], phi_cat, tmax, True)
-            hit_ref[:] = hit_ref[:] | jnp.any(valid, axis=0)
+            hit_ref[0, :] = (hit_ref[0, :]
+                             | jnp.any(valid, axis=0).astype(jnp.int32))
 
         if g == 1:
             total = count_ref[ti]
@@ -720,7 +735,8 @@ def _any_kernel_streamed(g: int, n_chunks: int, chunk_t: int,
         else:
             def super_body(r, _):
                 si = order_ref[ti, r]
-                alive = _chunk_cull(phi, sbounds_ref, si, tmax) & ~hit_ref[:]
+                alive = (_chunk_cull(phi, sbounds_ref, si, tmax)
+                         & (hit_ref[0, :] == 0))
 
                 @pl.when(jnp.any(alive))
                 def _():
@@ -783,8 +799,12 @@ def _pad_inputs(coeffs, phi_t, tmax, n, n_chunks, lane_major: bool,
         w = _split_words(coeffs, splits)
         coeffs = jnp.concatenate([w[i] for i in order], axis=-1)  # (rows, K)
     phi = jnp.pad(phi_t, ((0, 6), (0, n_pad - n)))
+    # per-lane scalars travel as (1, N) rank-2: a rank-1 f32 operand pins
+    # XLA's 1-D T(1024) layout, which Mosaic can only match with >=1024
+    # lane blocks — rank-2 gets the (8,128) tiling and any 128-multiple
+    # tile (TRACER_TILE_N_ANY=256 crashed the compile before this)
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
-    tmax = jnp.pad(tmax, (0, n_pad - n))
+    tmax = jnp.pad(tmax, (0, n_pad - n))[None, :]
     return coeffs, phi, tmax, n_pad, chunk_t
 
 
@@ -826,19 +846,19 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
         in_specs=[
             pl.BlockSpec((16, tile_n), lambda ri: (0, ri)),
             coeff_spec,                             # all chunk coeffs
-            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
+            pl.BlockSpec((1, tile_n), lambda ri: (0, ri)),
             bounds_spec,                            # per-chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # superchunk AABBs (<=64)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
         out_specs=[
-            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
-            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
+            pl.BlockSpec((1, tile_n), lambda ri: (0, ri)),
+            pl.BlockSpec((1, tile_n), lambda ri: (0, ri)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -848,7 +868,7 @@ def closest_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
         # ship a 1-entry stub instead of a full duplicate of chunk_bounds
     )(phi, coeffs2, tmaxv, chunk_bounds,
       sbounds[:1] if g == 1 else sbounds, order, count)
-    return best_t[:n], best_i[:n]
+    return best_t[0, :n], best_i[0, :n]
 
 
 def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
@@ -885,14 +905,14 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
         in_specs=[
             pl.BlockSpec((16, tile_n), lambda ri: (0, ri)),
             coeff_spec,                             # all chunk coeffs
-            pl.BlockSpec((tile_n,), lambda ri: (ri,)),
+            pl.BlockSpec((1, tile_n), lambda ri: (0, ri)),
             bounds_spec,                            # per-chunk AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # superchunk AABBs (<=64)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # order (n_tiles, K)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count (n_tiles,)
         ],
-        out_specs=pl.BlockSpec((tile_n,), lambda ri: (ri,)),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
+        out_specs=pl.BlockSpec((1, tile_n), lambda ri: (0, ri)),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -900,4 +920,4 @@ def any_hit_pallas(coeffs, phi_t, tmax, chunk_bounds, *,
         # g == 1: 1-entry stub, see closest_hit_pallas
     )(phi, coeffs2, tmaxv, chunk_bounds,
       sbounds[:1] if g == 1 else sbounds, order, count)
-    return hit[:n]
+    return hit[0, :n] != 0
