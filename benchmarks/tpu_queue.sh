@@ -31,6 +31,10 @@ x = jnp.ones((128,128)); (x@x).block_until_ready(); print('TPU OK')
 fi
 echo "probe ok"
 
+# 0b. Hardware approx-reciprocal error (pins APPROX_RECIP_REL on the
+#     real TPU — interpret mode was measured at 2^-8.001; see
+#     intersect_kernel.APPROX_RECIP_REL).
+step 0b recip-err 600 python benchmarks/measure_recip.py
 # 1. Warm bench sanity (first run after the timing-sink change
 #    cold-compiles: minutes through the remote-compile tunnel).
 step 01 bench64 3200 env BENCH_SPP=64 python bench.py

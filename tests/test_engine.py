@@ -498,3 +498,29 @@ def test_oversize_scene_fails_loudly():
         scene_mod.build_scene(tris, tm, mats, accel="lbvh")
     finally:
         scene_mod.DENSE_THRESHOLD = saved
+
+
+def test_lbvh_tpu_lane_guard(monkeypatch):
+    """An explicit accel='lbvh' query on a TPU backend at the v5e
+    faulting lane count must raise the guidance error at trace time
+    instead of an opaque device fault mid-render (the 'auto' path never
+    routes here; this pins the EXPLICIT-lbvh footgun)."""
+    from tracer_tpu.models import scene as scene_mod
+    tris, tm, mats = testscenes.cornell_like()
+    sc = scene_mod.build_scene(tris, tm, mats, accel="lbvh")
+    n = scene_mod._LBVH_TPU_LANE_FAULT
+    # rays from inside the box toward the block's front face (z=0.1)
+    o = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.9], jnp.float32)[:, None], (3, n))
+    d = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, -1.0], jnp.float32)[:, None], (3, n))
+    monkeypatch.setattr(scene_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="faults the v5e runtime"):
+        scene_mod.closest_hit(sc, 1e30, o, d)
+    with pytest.raises(ValueError, match="faults the v5e runtime"):
+        scene_mod.any_hit(sc, 1e30, o, d)
+    monkeypatch.undo()
+    # below the fault threshold (and on CPU) lbvh queries still work
+    ok, t, idx, pos, nrm = scene_mod.closest_hit(
+        sc, 1e30, o[:, :128], d[:, :128])
+    assert bool(jnp.any(ok))

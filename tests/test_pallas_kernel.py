@@ -7,7 +7,11 @@ from tracer_tpu.ops import intersect, linalg as la
 from tracer_tpu.ops.pallas import intersect_kernel as pk
 
 
-def test_pallas_matches_xla(rng_np):
+def test_pallas_matches_xla(rng_np, monkeypatch):
+    # exact divide: this test pins the bf16x3 packing + epilogue math;
+    # the approx-reciprocal default is covered by its own band test
+    # (test_approx_recip_error_band) with the measured 2^-8 bound
+    monkeypatch.setenv("TRACER_APPROX_RECIP", "0")
     tris = jnp.asarray(rng_np.uniform(-2, 2, (300, 3, 3)).astype(np.float32))
     dense = intersect.build_dense(tris)
     n = 257
@@ -241,6 +245,10 @@ def test_x6_packing_matches_f32_matmul(rng_np):
 def test_pallas_x6_matches_x3(rng_np, monkeypatch):
     """Forced x6 packing gives the same hits as x3 on a well-conditioned
     scene, in all three layout/streaming modes."""
+    # exact divide: the x6-vs-exact rtol=1e-4 leg below measures the
+    # PACKING error; the approx reciprocal (default ON, ~2^-8 in
+    # interpret mode) would swamp it — it has its own band test
+    monkeypatch.setenv("TRACER_APPROX_RECIP", "0")
     tris = jnp.asarray(rng_np.uniform(-2, 2, (900, 3, 3)).astype(np.float32))
     dense = intersect.build_dense(tris)
     n = 300
@@ -285,3 +293,47 @@ def test_pallas_x6_matches_x3(rng_np, monkeypatch):
         assert np.median(e6) <= np.median(e3), mode
         np.testing.assert_allclose(bt6[same], te[same],
                                    rtol=1e-4, atol=1e-5, err_msg=mode)
+
+
+def test_approx_recip_error_band(rng_np, monkeypatch):
+    """Default mode (approx reciprocal ON): the kernel's raw best_t
+    stays within APPROX_RECIP_REL of the XLA oracle's exact-divide t,
+    and hit/miss classification is unchanged. This re-pins the measured
+    bound that the _reintersect tmax slack is derived from
+    (intersect.closest_hit): in interpret mode jax lowers
+    pl.reciprocal(approx=True) as 1/f32(bf16(a)) — the INPUT is rounded
+    to bf16 (8 mantissa bits), so the error bound is 2^-8 (observed
+    in-kernel max ~3.6e-3). The TPU hardware lowering is tighter; the
+    shared constant is the worst of the two paths."""
+    monkeypatch.setenv("TRACER_APPROX_RECIP", "1")
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (300, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 257
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+
+    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                   dense.chunk_bounds, interpret=True)
+    ok_x, t_x, i_x, _, _, _ = intersect.closest_hit(dense, 1e30, ov, dv)
+    okp = np.isfinite(np.asarray(bt))
+    # the approximation can shuffle near-tie winners, never hit<->miss
+    np.testing.assert_array_equal(okp, np.asarray(ok_x))
+    same = okp & (np.asarray(bi) == np.asarray(i_x))
+    assert same[okp].mean() > 0.97  # near-tie winner swaps only
+    t_ref = np.asarray(t_x)[same]
+    # rtol = the approx-recip band; atol absorbs bf16x3 cancellation on
+    # tiny t (terms are O(1) so ~2^-15 ABSOLUTE error can exceed t
+    # itself when the origin sits on a surface — same atol as the
+    # exact-divide test above)
+    np.testing.assert_allclose(np.asarray(bt)[same], t_ref,
+                               rtol=pk.APPROX_RECIP_REL * 1.1, atol=1e-4)
+    # and the band is actually exercised (approx path really on):
+    # exact-divide agreement is ~2^-15 relative, so a max relative
+    # error above 2^-11 on well-scaled t proves the knob routed
+    # through the approximate reciprocal
+    big = same & (np.asarray(t_x) > 0.1)
+    rel = np.abs(np.asarray(bt)[big] - np.asarray(t_x)[big]) / np.asarray(t_x)[big]
+    assert rel.max() > 2.0 ** -11, rel.max()

@@ -169,6 +169,34 @@ def pack_light_table(lights: lights_mod.Lights) -> jax.Array:
     ], axis=1)
 
 
+# Lane count at which the LBVH while-loop traversal faults the v5e
+# runtime inside the pooled renderer (observed; see DENSE_THRESHOLD
+# note above). Guarded at trace time: "auto" never routes here, but an
+# EXPLICIT accel="lbvh" scene would otherwise hit an opaque device
+# fault mid-render.
+_LBVH_TPU_LANE_FAULT = 65536
+
+
+def _guard_lbvh_lanes(n: int) -> None:
+    """Raise a clear, actionable error instead of the opaque v5e
+    runtime fault when LBVH traversal would run on a TPU backend at a
+    faulting lane count. Lane count is static at trace time, so a
+    Python raise works under jit."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and n >= _LBVH_TPU_LANE_FAULT:
+        raise ValueError(
+            f"LBVH traversal with {n} lanes on TPU: the while-loop "
+            f"traversal faults the v5e runtime at >= "
+            f"{_LBVH_TPU_LANE_FAULT} lanes. Rebuild the scene with "
+            "accel='dense' (the production TPU path; streams past VMEM "
+            "at any verified size) or split the query into smaller "
+            "lane batches. accel='lbvh' remains supported on CPU and "
+            "for small TPU queries.")
+
+
 def closest_hit(scene: Scene, tmax, origin, d):
     """Dispatch to the active acceleration structure. Rays are V3 (3,N);
     returns (ok, t, tri_idx, pos (3,N), normal (3,N)).
@@ -181,6 +209,7 @@ def closest_hit(scene: Scene, tmax, origin, d):
     if isinstance(scene.accel, intersect.DenseTris):
         return intersect.closest_hit(scene.accel, tmax, origin, d)[:5]
     n = jnp.broadcast_shapes(origin.shape, d.shape)[1]
+    _guard_lbvh_lanes(n)
     o_a = la.v3_to_array(jnp.broadcast_to(origin, (3, n)))
     d_a = la.v3_to_array(jnp.broadcast_to(d, (3, n)))
     ok, t, idx, pos, nrm = bvh_mod.closest_hit(scene.accel, tmax, o_a, d_a)
@@ -192,6 +221,7 @@ def any_hit(scene: Scene, tmax, origin, d):
     if isinstance(scene.accel, intersect.DenseTris):
         return intersect.any_hit(scene.accel, tmax, origin, d)
     n = jnp.broadcast_shapes(origin.shape, d.shape)[1]
+    _guard_lbvh_lanes(n)
     o_a = la.v3_to_array(jnp.broadcast_to(origin, (3, n)))
     d_a = la.v3_to_array(jnp.broadcast_to(d, (3, n)))
     return bvh_mod.any_hit(scene.accel, tmax, o_a, d_a)

@@ -275,11 +275,19 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
             dense.chunk_bounds)
         ok = jnp.isfinite(best_t)
         best_i = jnp.where(ok, best_i, 0)
+        # tmax slack so a true winner isn't rejected by the exact
+        # re-test: the kernel's t carries bf16x3 packing error (~2^-15
+        # relative) plus, when TRACER_APPROX_RECIP is on, the
+        # approximate-reciprocal error (<= APPROX_RECIP_REL = 2^-8
+        # measured; see intersect_kernel). Production closest queries
+        # all pass tmax = F32_HIGHEST (the LiDAR distance window is
+        # applied downstream), so the slack never admits extra hits on
+        # the hot path — it only matters for explicit finite-tmax API
+        # calls, where 2x the error bound keeps near-tmax winners.
+        slack = 2.0 * pk.APPROX_RECIP_REL if pk._approx_recip() else 1e-4
         ok2, t, pos, normal, aux = _reintersect(
             dense, best_i, origin, d,
-            # slack covers the kernel's bf16x3 t error (~2^-15 relative)
-            # so a true winner isn't rejected by the exact re-test
-            jnp.asarray(tmax, jnp.float32) * (1.0 + 1e-4))
+            jnp.asarray(tmax, jnp.float32) * (1.0 + slack))
         ok = ok & ok2
         return (ok, jnp.where(ok, t, jnp.inf),
                 jnp.where(ok, best_i, -1), pos, normal,

@@ -54,8 +54,19 @@ TILE_N = 2048     # rays per tile (lanes); override via TRACER_TILE_N
 
 def _round_tile(v: int) -> int:
     """Lane tiles must be multiples of the 128-lane vreg width (the
-    (1, N) rank-2 per-lane carriers make any 128-multiple legal)."""
-    return max(128, -(-v // 128) * 128)
+    (1, N) rank-2 per-lane carriers make any 128-multiple legal).
+    Non-multiples round UP and warn once: silent rounding would make a
+    user-set TRACER_TILE_N(_ANY) quietly mean something else, and
+    knob_key caches on the raw env string so two spellings of the same
+    rounded tile would compile duplicate executables."""
+    r = max(128, -(-v // 128) * 128)
+    if r != v:
+        import warnings
+        warnings.warn(
+            f"tile width {v} is not a multiple of the 128-lane vreg; "
+            f"rounding up to {r} (set TRACER_TILE_N/_ANY to a multiple "
+            "of 128 to silence)", stacklevel=3)
+    return r
 
 
 def _tile_n() -> int:
@@ -80,14 +91,28 @@ def _tile_n_any() -> int:
 
 
 def _approx_recip() -> bool:
-    """TRACER_APPROX_RECIP: hardware-approximate reciprocal in the
-    closest epilogue (see _scores). ON by default (=0 opts out):
-    measured +16% end-to-end on the spectrum config (47.4 -> 54.9
-    Mrays/s, 2026-08-19) and every accepted hit is re-verified by the
-    exact elementwise _reintersect, so approximation can only shuffle
-    near-tie winners, never admit a false hit."""
+    """TRACER_APPROX_RECIP: approximate reciprocal in the closest
+    epilogue (see _scores). ON by default (=0 opts out): measured +16%
+    end-to-end on the spectrum config (47.4 -> 54.9 Mrays/s,
+    2026-08-19) and every accepted hit is re-verified by the exact
+    elementwise _reintersect, so approximation can only shuffle winners
+    within the error band (APPROX_RECIP_REL), never admit a false hit.
+    """
     import os
     return os.environ.get("TRACER_APPROX_RECIP", "1") != "0"
+
+
+# Relative-error bound for pl.reciprocal(approx=True), measured
+# 2026-08-19 (tests/test_pallas_kernel.py::test_approx_recip_error_band
+# re-pins it). In INTERPRET mode jax lowers approx=True as
+# 1/f32(bf16(x)) — the INPUT is rounded to bf16 (8 mantissa bits), so
+# the bound is 2^-8 (observed in-kernel max 3.6e-3 = 2^-8.1). The TPU
+# Mosaic lowering emits the hardware reciprocal instruction, measured
+# at max_rel 1.6e-5 = 2^-15.9 over 2^20 inputs spanning exponents
+# [-20, 20) (benchmarks/measure_recip.py, v5e via axon, 2026-08-19) —
+# ~256x tighter. The shared bound here is the worst of the two paths
+# so one constant covers tests and production on either backend.
+APPROX_RECIP_REL = 2.0 ** -8
 # Max schedule entries per tile: chunks group into superchunks of
 # g = ceil(n_chunks / MAX_SCHED) so the SMEM order table is (n_tiles,
 # <=MAX_SCHED) int32 and the XLA-side schedule build is O(MAX_SCHED * N)
@@ -237,14 +262,16 @@ def _scores(coeffs, phi_cat, tmax, lane_major: bool):
     a = mm(0, phi_cat)
     nondeg = jnp.abs(a) >= shapes.TRI_EPS
     if _approx_recip():
-        # TPU hardware reciprocal (one VPU op vs the ~7-op Newton
-        # divide), ~2^-12 relative error. t only drives the in-chunk
-        # min/argmin, the monotone best-t cull bound, and the returned
-        # best_t — all re-verified by the exact elementwise
-        # _reintersect, whose tmax slack (1e-4) covers the error. Two
-        # triangles within ~2^-12 relative t may swap winners
-        # (geometrically coincident surfaces); the XLA formulation uses
-        # the exact divide.
+        # Approximate reciprocal (on TPU: one VPU op vs the ~7-op
+        # Newton divide; in interpret mode: 1/bf16(a)), relative error
+        # <= APPROX_RECIP_REL (2^-8, measured — see the constant). t
+        # only drives the in-chunk min/argmin, the monotone best-t cull
+        # bound, and the returned best_t — the accepted winner is
+        # re-verified by the exact elementwise _reintersect, whose tmax
+        # slack is derived from this same bound (intersect.closest_hit).
+        # Triangles within the band of each other may swap winners
+        # (near-coincident surfaces); the XLA formulation uses the
+        # exact divide.
         inv_a = jnp.where(nondeg, pl.reciprocal(a, approx=True), 0.0)
     else:
         inv_a = jnp.where(nondeg, 1.0, 0.0) / jnp.where(nondeg, a, 1.0)
