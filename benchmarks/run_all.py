@@ -77,6 +77,15 @@ if cfg.get("orbit"):
         st = orbit_frame(st)
     np.asarray(st.img)  # true barrier: fetch depends on every frame
     dt = max(time.perf_counter() - t0 - rt, 1e-9)
+    # the loop must actually advance: consecutive frames must differ
+    # (orbit turns the camera every frame, so a frozen image means the
+    # step went dead — guards the 17x orbit jump against a no-op loop)
+    a = np.asarray(st.img)
+    b = np.asarray(orbit_frame(st).img)
+    if np.array_equal(a, b):
+        print("orbit frames identical - loop not advancing; refusing",
+              file=sys.stderr)
+        sys.exit(2)
     # LBVH build timing, axon-safe pattern (K reps inside one jit with
     # per-rep input perturbation, scalar fetch, roundtrip subtracted)
     LB_REPS = 8
@@ -133,7 +142,7 @@ CONFIGS = {
             origin=(0.0, 0.8, 0.9)),
     4: dict(name="spectrum", scene="SpectrumSphere", size=512, spp=64),
     5: dict(name="orbit", scene="SpectrumSphereHigh", size=1024,
-            orbit=True, frames=8),
+            orbit=True, frames=32),
 }
 
 QUICK_OVERRIDES = {1: {}, 2: dict(spp=32), 3: dict(size=256, spp=16),
@@ -142,7 +151,9 @@ QUICK_OVERRIDES = {1: {}, 2: dict(spp=32), 3: dict(size=256, spp=16),
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4")
+    # all five BASELINE configs by default so orbit can't silently go
+    # stale in BENCH_ALL.json (r2 VERDICT weak #4)
+    ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()

@@ -56,7 +56,25 @@ def main():
     ap.add_argument("--out", default=None, help="PNG path on exit")
     ap.add_argument("--headless", action="store_true",
                     help="no window (SDL dummy driver)")
+    ap.add_argument("-d", "--device", default=None,
+                    help="compute device: a jax platform name ('tpu', "
+                    "'cpu') or 'platform:N' to pick device N — the -d "
+                    "DEVICE option of the reference viewer "
+                    "(liblys.c:166-209)")
     args = ap.parse_args()
+
+    if args.device:
+        plat, _, idx = args.device.partition(":")
+        if plat:
+            if plat.lower() == "cpu":
+                _cpu_pin.force_cpu(1)
+            else:
+                import jax
+                jax.config.update("jax_platforms", plat.lower())
+        if idx:
+            import jax
+            jax.config.update("jax_default_device",
+                              jax.devices()[int(idx)])
 
     if args.headless or not os.environ.get("DISPLAY"):
         os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
@@ -68,6 +86,13 @@ def main():
     from tracer_tpu.utils.image import argb_to_rgb, write_png
 
     tris, tm, mats = load_obj(args.obj, verbose=True)
+
+    # device banner, the liblys.c:195-207 "Using OpenCL device" analog
+    import jax
+    dev = jax.devices()[0]
+    print(f"Using {dev.platform} device: {dev.device_kind} (id {dev.id})")
+    print("Use -d to change this.")
+
     # default camera placement as in the reference viewer (liblys.c:133-136)
     state = T.init(0, args.height, args.width, args.conf, tris, tm, mats,
                    cam_origin=(0.0, 0.8, 1.8))

@@ -123,6 +123,52 @@ def test_graft_dryrun():
 
 
 @needs8
+def test_points_merge_tie_keeps_newest_whole_point():
+    """Cross-replica exact-distance ties must keep the NEWEST replica's
+    entire point (lib.fut:49-51 keeps p2, the new sample) — never a
+    coordinate-wise max of two different returns (r2 VERDICT weak #6)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    mesh = par.make_mesh(1, 8)
+    n = 4
+    # replica si: pixel 0 ties at d=1.0 on replicas 2 and 5 with
+    # *different* positions; pixel 1 has a unique min on replica 3;
+    # pixel 2 is a miss everywhere; pixel 3 ties on ALL replicas.
+    def body(_):
+        si = jax.lax.axis_index(par.SAMPLE_AXIS)
+        sif = si.astype(jnp.float32)
+        dist = jnp.full((n,), jnp.inf)
+        dist = dist.at[0].set(jnp.where((si == 2) | (si == 5), 1.0, 2.0))
+        dist = dist.at[1].set(jnp.where(si == 3, 0.5, 3.0))
+        dist = dist.at[3].set(7.0)
+        # position encodes the replica: replica si reports (si, -si, 10+si)
+        pos = jnp.stack([jnp.full((n,), sif), jnp.full((n,), -sif),
+                         jnp.full((n,), 10.0 + sif)])
+        inten = jnp.full((n,), 100.0 + sif)
+        p, i, d = par.merge_points_newest(pos, dist, inten, si)
+        return p, i, d
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                   check_vma=False)
+    pos, inten, best_d = jax.jit(fn)(jnp.zeros(()))
+    pos, inten, best_d = map(np.asarray, (pos, inten, best_d))
+    # pixel 0: replicas 2 and 5 tie -> newest (5) wins, point is
+    # exactly replica 5's (5, -5, 15), not a coordinate-wise max
+    assert best_d[0] == 1.0
+    np.testing.assert_array_equal(pos[:, 0], [5.0, -5.0, 15.0])
+    assert inten[0] == 105.0
+    # pixel 1: unique min on replica 3
+    assert best_d[1] == 0.5
+    np.testing.assert_array_equal(pos[:, 1], [3.0, -3.0, 13.0])
+    # pixel 2: miss everywhere -> inf distance (callers mask on it)
+    assert np.isinf(best_d[2])
+    # pixel 3: all replicas tie -> newest (7) wins
+    np.testing.assert_array_equal(pos[:, 3], [7.0, -7.0, 17.0])
+    assert inten[3] == 107.0
+
+
+@needs8
 def test_points_sharded_matches_single():
     tris, tm, mats = testscenes.cornell_like()
     s = T.init(0, 16, 16, 2, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))

@@ -655,12 +655,14 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
             if with_points:
                 a_pos = align(c["sample_pos"], 0.0)
                 a_int = align(c["sample_int"], 0.0)
-                # strict min in sample order: exact-distance ties break
-                # on the smaller sample index (lib.fut:40-47)
+                # min in sample order with newest-wins ties: the
+                # reference folds `if p1.d < p2.d then p1 else p2` with
+                # p2 the NEW sample (lib.fut:49-51), so an exact-distance
+                # tie keeps the larger sample index
                 better = sel & ((a_mind[None] < c["acc_pd"])
                                 | (jnp.isfinite(a_mind)[None]
                                    & (a_mind[None] == c["acc_pd"])
-                                   & (a_row[None] < c["acc_ps"])))
+                                   & (a_row[None] > c["acc_ps"])))
                 out["acc_pd"] = jnp.where(better, a_mind[None], c["acc_pd"])
                 out["acc_pos"] = jnp.where(better[None],
                                            a_pos[:, None, :], c["acc_pos"])
@@ -800,9 +802,12 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                 p_r = jnp.roll(out["acc_pos"][:, q], bin_shifts[q], axis=1)
                 i_r = jnp.roll(out["acc_int"][q], bin_shifts[q])
                 s_r = jnp.roll(out["acc_ps"][q], bin_shifts[q])
-                # exact-distance ties resolve on the smaller sample index
-                # (strict min in sample order, lib.fut:40-47)
-                better = (d_r < best_d) | ((d_r == best_d) & (s_r < best_ps))
+                # exact-distance ties resolve on the LARGER sample index
+                # (newest wins: lib.fut:49-51 keeps p2, the new sample;
+                # the non-tie path is the plain strict min)
+                better = (d_r < best_d) | (jnp.isfinite(d_r)
+                                           & (d_r == best_d)
+                                           & (s_r > best_ps))
                 best_d = jnp.where(better, d_r, best_d)
                 best_pos = jnp.where(better, p_r, best_pos)
                 best_int = jnp.where(better, i_r, best_int)
@@ -854,9 +859,10 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
     result["rays_traced"] = out["rays"]
     result["iters"] = out["it"]  # occupancy diagnostic: ideal ~= rays/(3P)
     if with_points:
-        # closest return per pixel across all samples (lib.fut:40-47):
-        # strict-min in item (== per-pixel sample) order, like the old
-        # cross-sample merge
+        # closest return per pixel across all samples: the reference's
+        # fold keeps the NEW sample on an exact-distance tie
+        # (lib.fut:49-51 `if p1.d < p2.d then p1 else p2`), and item
+        # order here IS per-pixel sample order, so <= reproduces it
         def bin_points(m, carry):
             bd, bp, bi = carry
             shift = bin_shifts[m]
@@ -866,7 +872,7 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
                 out["int_st"], m, 0, keepdims=False), 0.0), shift)
             p_row = jnp.roll(pad_row(jax.lax.dynamic_index_in_dim(
                 out["pos_st"], m, 1, keepdims=False), 0.0), shift, axis=1)
-            better = d_row < bd
+            better = jnp.isfinite(d_row) & (d_row <= bd)
             return (jnp.where(better, d_row, bd),
                     jnp.where(better, p_row, bp),
                     jnp.where(better, i_row, bi))

@@ -142,6 +142,25 @@ def sample_points_sharded(s: EngineState, mesh: Mesh, spp: int):
     return run(s.seed, s.nonce, s.scene, s.cam, s.ambience)
 
 
+def merge_points_newest(pos, dist, inten, si, axis=SAMPLE_AXIS):
+    """Closest-return merge across sample-axis replicas: min distance
+    wins, and an exact-distance tie keeps the NEWEST sample
+    (lib.fut:49-51 folds `if p1.d < p2.d then p1 else p2` with p2 the
+    new sample). Replica si renders samples [si*spp_local,
+    (si+1)*spp_local), so the highest tied replica index supplies the
+    whole point. A one-hot psum select moves exactly one replica's
+    (pos, intensity) — never a coordinate-wise max of two different
+    returns. Returns (pos, inten, best_d); callers mask on
+    isfinite(best_d)."""
+    best_d = jax.lax.pmin(dist, axis)
+    mine = dist <= best_d
+    win = jax.lax.pmax(jnp.where(mine, si, -1), axis)
+    sel = mine & (si == win)
+    pos = jax.lax.psum(jnp.where(sel, pos, 0.0), axis)
+    inten = jax.lax.psum(jnp.where(sel, inten, 0.0), axis)
+    return pos, inten, best_d
+
+
 @lru_cache(maxsize=64)
 def _points_exec(mesh: Mesh, w: int, h: int, rows: int, spp_local: int,
                  spp: int, transmitter_kind: str, render_mode: str,
@@ -159,12 +178,7 @@ def _points_exec(mesh: Mesh, w: int, h: int, rows: int, spp_local: int,
             transmitter_kind, spp_local, render_mode,
             row0=row0, full_h=h, with_points=True)
         pos, dist, inten = out["points"]
-        # closest return across sample replicas: min distance wins
-        # (the merge in lib.fut:48-51 is associative)
-        best_d = jax.lax.pmin(dist, SAMPLE_AXIS)
-        mine = dist <= best_d
-        pos = jax.lax.pmax(jnp.where(mine, pos, -jnp.inf), SAMPLE_AXIS)
-        inten = jax.lax.pmax(jnp.where(mine, inten, -jnp.inf), SAMPLE_AXIS)
+        pos, inten, best_d = merge_points_newest(pos, dist, inten, si)
         has = jnp.isfinite(best_d)
         pts = jnp.concatenate(
             [la.v3_to_array(jnp.where(has, pos, -1.0)),
