@@ -46,7 +46,6 @@ w, h = s.sub_dims
 
 if cfg.get("orbit"):
     import jax, jax.numpy as jnp
-    from tracer_tpu.models import camera as cam_mod
     from tracer_tpu.ops import intersect
     # interactive orbit: per-frame acceleration-structure rebuild +
     # 1-spp progressive frame, ONE dispatch per frame (rebuild + turn +
@@ -54,14 +53,30 @@ if cfg.get("orbit"):
     # dense MXU intersector (models/scene.py DENSE_THRESHOLD); the LBVH
     # build is timed separately as a secondary metric for the
     # reference's per-frame-LBVH-rebuild scenario.
+    # TRUE orbit: revolve the camera around the scene's vertical axis
+    # at its starting radius, always facing inward. Turning in place
+    # (turn_camera alone) points the camera into empty space after ~30
+    # frames of 0.05 rad — every ray misses and consecutive frames are
+    # identically black, so the loop times empty views (this is what
+    # the frames-advancing guard below caught). cam_dir =
+    # (sin yaw, sin pitch, -cos yaw), so facing the axis from the orbit
+    # circle means origin = (-R sin yaw, y, R cos yaw), which reduces
+    # to the configured origin at yaw 0.
+    orbit_r = float(np.hypot(cfg.get("origin", (0.0, 0.8, 1.8))[0],
+                             cfg.get("origin", (0.0, 0.8, 1.8))[2]))
+
     @jax.jit
     def orbit_frame(st):
         # rebuild keeps the material-id aux column (input triangle order
         # is unchanged; build_dense re-sorts and re-permutes aux itself)
         accel = intersect.build_dense(
             st.scene.tris, aux=st.scene.mat_ix.astype(jnp.float32))
+        yaw = jnp.mod(st.cam.yaw + 0.05, jnp.float32(2.0 * np.pi))
+        origin = jnp.stack([-orbit_r * jnp.sin(yaw),
+                            st.cam.origin[1],
+                            orbit_r * jnp.cos(yaw)])
         st = st.replace(scene=st.scene._replace(accel=accel),
-                        cam=cam_mod.turn_camera(st.cam, 0.0, 0.05))
+                        cam=st.cam._replace(yaw=yaw, origin=origin))
         from tracer_tpu.engine.api import _step_core
         return _step_core(st)
     st = orbit_frame(s)                                 # compile
@@ -85,6 +100,10 @@ if cfg.get("orbit"):
     if np.array_equal(a, b):
         print("orbit frames identical - loop not advancing; refusing",
               file=sys.stderr)
+        sys.exit(2)
+    if not (np.isfinite(a).all() and a.max() > 0):
+        print("orbit frame black/non-finite - camera lost the scene; "
+              "refusing", file=sys.stderr)
         sys.exit(2)
     # LBVH build timing, axon-safe pattern (K reps inside one jit with
     # per-rep input perturbation, scalar fetch, roundtrip subtracted)
