@@ -36,6 +36,10 @@ GOLDENS = {
     "cornell-lidar": ("CornellBox-Original", 2, 48, 32, (0.0, 0.8, 1.8)),
     "mirrorbox": ("MirrorBox", 0, 64, 64, (0.0, 0.8, 0.9)),
     "spectrum": ("SpectrumSphere", 0, 48, 32, (0.0, 0.8, 1.8)),
+    # the orbit config's scene (BASELINE config 5, 8716 tris): pins the
+    # estimator on the largest shipped asset, which the per-config
+    # goldens above never touch
+    "spectrum-high": ("SpectrumSphereHigh", 0, 48, 24, (0.0, 0.8, 1.8)),
     # 128^2: the through-prism dispersion band's ~1.5px R->B centroid
     # separation (prism_compare.dispersion_stats) needs the resolution
     "prism": ("proc:prism_scene", 0, 128, 64, (0.0, 0.9, 2.6)),
