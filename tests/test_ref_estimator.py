@@ -10,7 +10,7 @@ minstd_rand engine, same f32 math) that shares only the OBJ loader —
 which is itself pinned Python==C++ by tests/test_loader.py.
 
 The comparison is statistical (the RNG stream assignment is the one
-documented deviation), and SELF-CALIBRATING: the committed golden
+documented deviation), and SELF-CALIBRATING: each committed golden
 carries a second, same-estimator render at a different seed ("control
 probe") with exactly the test's statistical structure — 256-spp mean
 probe vs 512-spp golden, z-denominator from the golden's sample
@@ -20,14 +20,34 @@ the control probe measures the real null. The tracer must not look
 farther from the reference transliteration than the transliteration is
 from itself.
 
-Measured on the committed golden (2026-08-19, 64x64 CornellBox):
-  control (numpy seed 7 vs numpy seed 0):
-    chi2/dof 1.73, median|z| 0.698, frac|z|>5 0.60%, max|z| 28.3
-  tracer_tpu (jax seed 0 vs numpy seed 0):
-    chi2/dof 1.69, median|z| 0.703, frac|z|>5 0.56%, max|z| 23.6
+Three scenes pin three different estimator regions:
+  cornell    diffuse + NEE/MIS + RR (integrator.fut:27-76,
+             direct.fut:63-122)
+  mirrorbox  metal/mirror lobes, deep specular paths
+             (material.fut:346-355)
+  prism      refraction + the ref_ix dispersion hack + caustics
+             (material.fut:38-41, :166-183)
+
+chi2/dof is only meaningful on cornell: specular scenes have many
+DETERMINISTIC pixels (a mirror path hits the same emitter whatever the
+jitter), whose golden-side sample variance is exactly 0 — any nonzero
+mean difference there divides by the epsilon floor and chi2 becomes a
+1/eps^2 lottery (control and tracer both land at 1e16..1e19). The
+distribution-bulk stats (median |z|, frac |z|>5) and clipped energy
+stay well-behaved and control-calibrated on all scenes.
+
+Measured at the committed goldens (2026-08-19, numpy seed 7 vs seed 0
+control — jax seed 0 vs numpy seed 0 test):
+  cornell   ctrl: chi2 1.73, median 0.698, frac>5 0.60%
+            test: chi2 1.69, median 0.703, frac>5 0.56%
+  mirrorbox ctrl: median 0.738, frac>5 10.7%   (32x32 probe run)
+            test: median 0.726, frac>5 10.6%
+  prism     ctrl: median 0.711, frac>5  3.8%
+            test: median 0.708, frac>5  3.7%
 An estimator bug moves these by far more: a wrong MIS weight or a lost
 emission term shifts whole-pixel populations by multiples of their SE
-(chi2/dof >> 3) and the clipped per-channel energy by >5%.
+(median/frac blow past the bands) and the clipped per-channel energy
+by >5%.
 """
 
 import os
@@ -35,63 +55,91 @@ import os
 import numpy as np
 import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
-                      "ref_numpy_cornell64.npz")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 ASSETS = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
-OBJ = os.path.join(ASSETS, "CornellBox-Original.obj")
 
 JAX_SPP = 256
 
+# scene -> (golden file, obj spec for render_tracer, chi2 meaningful,
+#           clipped-energy floor)
+SCENES = {
+    "cornell": ("ref_numpy_cornell64.npz",
+                os.path.join(ASSETS, "CornellBox-Original.obj"),
+                True, 0.02),
+    "mirrorbox": ("ref_numpy_mirrorbox32.npz",
+                  os.path.join(ASSETS, "MirrorBox.obj"), False, 0.04),
+    "prism": ("ref_numpy_prism32.npz", "proc:prism_scene", False, 0.04),
+}
 
-@pytest.fixture(scope="module")
-def golden():
-    if not os.path.exists(GOLDEN):
-        pytest.skip("independent-estimator golden not generated")
-    if not os.path.exists(OBJ):
+
+@pytest.fixture(scope="module", params=list(SCENES))
+def case(request):
+    name = request.param
+    fname, obj, chi2_ok, energy_floor = SCENES[name]
+    path = os.path.join(GOLDEN_DIR, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"independent-estimator golden {fname} not generated")
+    if not obj.startswith("proc:") and not os.path.exists(obj):
         pytest.skip("reference assets not present")
-    return np.load(GOLDEN)
+    golden = np.load(path)
 
-
-@pytest.fixture(scope="module")
-def stats(golden):
     from verify.compare import render_tracer, zstats
     mean, var, spp = golden["mean"], golden["var"], int(golden["spp"])
     ctrl = zstats(mean, var, spp, golden["mean_ctrl"],
                   int(golden["spp_ctrl"]))
-    mj = render_tracer(int(golden["size"]), JAX_SPP, seed=0, obj=OBJ)
+    origin = (tuple(golden["origin"]) if "origin" in golden.files
+              else (0.0, 0.8, 1.8))
+    mj = render_tracer(int(golden["size"]), JAX_SPP, seed=0, obj=obj,
+                       cam_origin=origin)
     test = zstats(mean, var, spp, mj, JAX_SPP)
-    return ctrl, test, mean, mj
+    return dict(name=name, ctrl=ctrl, test=test, mean=mean, mj=mj,
+                mean_ctrl=golden["mean_ctrl"], chi2_ok=chi2_ok,
+                energy_floor=energy_floor)
 
 
-def test_golden_control_is_sane(stats):
+def test_golden_control_is_sane(case):
     """The committed control probe must itself sit at the expected
     null — guards against a corrupted/regenerated-wrong golden."""
-    ctrl, _, _, _ = stats
+    ctrl = case["ctrl"]
     assert 0.55 < ctrl["median_abs"] < 0.85, ctrl
-    assert ctrl["chi2_dof"] < 3.0, ctrl
-    assert ctrl["frac_gt5"] < 0.02, ctrl
+    assert ctrl["frac_gt5"] < 0.15, ctrl
+    if case["chi2_ok"]:
+        assert ctrl["chi2_dof"] < 3.0, ctrl
+        assert ctrl["frac_gt5"] < 0.02, ctrl
 
 
-def test_tracer_matches_independent_reference(stats):
+def test_tracer_matches_independent_reference(case):
     """tracer_tpu must be no farther from the independent numpy
     transliteration than the transliteration is from itself."""
-    ctrl, test, _, _ = stats
+    ctrl, test = case["ctrl"], case["test"]
     # bulk of the distribution: median |z| at the null value
     assert 0.55 < test["median_abs"] < 0.85, (test, ctrl)
-    # tails no heavier than the same-estimator control (x1.5 slack for
+    # tails no heavier than the same-estimator control (x2 slack for
     # the control's own sampling noise) plus absolute backstops
-    assert test["chi2_dof"] < max(1.5 * ctrl["chi2_dof"], 3.0), (test, ctrl)
-    assert test["frac_gt5"] < max(2.0 * ctrl["frac_gt5"], 2e-3), (test, ctrl)
+    assert test["frac_gt5"] < max(2.0 * ctrl["frac_gt5"], 2e-3), (test,
+                                                                  ctrl)
+    if case["chi2_ok"]:
+        assert test["chi2_dof"] < max(1.5 * ctrl["chi2_dof"], 3.0), (
+            test, ctrl)
 
 
-def test_energy_matches_independent_reference(stats):
+def _clipped_energy_diff(a_img, b_img, c):
+    a, b = a_img[..., c].ravel(), b_img[..., c].ravel()
+    hi = np.quantile(np.concatenate([a, b]), 0.99)
+    am, bm = a.clip(0, hi).mean(), b.clip(0, hi).mean()
+    return abs(bm - am) / am, am, bm
+
+
+def test_energy_matches_independent_reference(case):
     """Per-channel image energy (firefly-clipped at the joint 99th
-    percentile so one lucky path can't dominate a 64x64 render) within
-    2%: pins global throughput — RR weighting, NEE normalization, the
-    x n_channels visualize factor (integrator.fut:165-170)."""
-    _, _, mr, mj = stats
+    percentile so one lucky path can't dominate a small render) pins
+    global throughput — RR weighting, NEE normalization, the
+    x n_channels visualize factor (integrator.fut:165-170). The bound
+    is control-calibrated (caustic scenes are energy-noisy even
+    clipped) with a per-scene absolute floor."""
+    mr, mj, mc = case["mean"], case["mj"], case["mean_ctrl"]
     for c in range(3):
-        a, b = mr[..., c].ravel(), mj[..., c].ravel()
-        hi = np.quantile(np.concatenate([a, b]), 0.99)
-        am, bm = a.clip(0, hi).mean(), b.clip(0, hi).mean()
-        assert abs(bm - am) / am < 0.02, (c, am, bm)
+        d_test, am, bm = _clipped_energy_diff(mr, mj, c)
+        d_ctrl, _, _ = _clipped_energy_diff(mr, mc, c)
+        bound = max(2.0 * d_ctrl, case["energy_floor"])
+        assert d_test < bound, (case["name"], c, am, bm, d_test, d_ctrl)

@@ -67,17 +67,23 @@ def zstats(mean_ref, var_ref, n_ref, mean_jax, n_jax, eps=1e-12):
 
 def render_tracer(size, spp, seed=0, obj=None, conf=0,
                   cam_origin=(0.0, 0.8, 1.8)):
-    """Render the same scene with tracer_tpu (mean image, (h, w, 3))."""
+    """Render the same scene with tracer_tpu (mean image, (h, w, 3)).
+    `obj` is an OBJ path or "proc:<fn>" naming a
+    tracer_tpu.utils.testscenes constructor (e.g. the prism scene)."""
     import os
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import tracer_tpu as T
-    from tracer_tpu.utils.objloader import load_obj
     obj = obj or os.path.join(
         os.environ.get("TRACER_ASSETS", "/root/reference/assets"),
         "CornellBox-Original.obj")
-    tris, tm, mats = load_obj(obj)
+    if obj.startswith("proc:"):
+        from tracer_tpu.utils import testscenes
+        tris, tm, mats = getattr(testscenes, obj[5:])()
+    else:
+        from tracer_tpu.utils.objloader import load_obj
+        tris, tm, mats = load_obj(obj)
     s = T.init(seed, size, size, conf, tris, tm, mats,
                cam_origin=cam_origin)
     return np.asarray(T.sample_n_frames(s, spp))
