@@ -3,7 +3,7 @@
 # here the device code is jit-compiled, so make handles the native host
 # library, tests, and benchmarks)
 
-.PHONY: all native test bench bench-all clean
+.PHONY: all native test smoke bench bench-all clean
 
 all: native
 
@@ -12,6 +12,12 @@ native:
 
 test: native
 	python -m pytest tests/ -q
+
+# <2-min fast tier: one+ representative test per module. Every snapshot
+# commit requires green smoke; estimator-touching commits require one
+# full `make test` run too (see CLAUDE.md).
+smoke: native
+	python -m pytest tests/ -m smoke -q
 
 bench:
 	python bench.py

@@ -26,6 +26,14 @@ import pytest  # noqa: E402
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# Persistent compilation cache: repeated runs (and the smoke tier) skip
+# recompiles of unchanged test jits. Keyed by backend+flags, so the CPU
+# tests never collide with bench's TPU cache entries.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TRACER_TEST_COMPILE_CACHE",
+                                 "/tmp/tracer_jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture
 def rng_np():

@@ -1,6 +1,7 @@
 """LBVH: Karras-tree invariants, refit containment, and traversal vs the
 brute-force dense oracle (the fake-BVH pattern from reference bvh.fut:25-43)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -85,6 +86,7 @@ def test_refit_containment(rng_np):
             assert (nmax[i] >= cmax - 1e-6).all(), i
 
 
+@pytest.mark.smoke
 def test_lbvh_matches_dense_oracle(rng_np):
     for t in [2, 5, 60, 333]:
         tris = random_tris(rng_np, t)

@@ -35,6 +35,7 @@ def test_white_furnace_ambience():
     np.testing.assert_allclose(img.mean(axis=(0, 1)), [1, 1, 1], atol=0.05)
 
 
+@pytest.mark.smoke
 def test_cornell_statistics():
     s = cornell_state()
     img = np.asarray(T.sample_n_frames(s, 48))
@@ -164,6 +165,7 @@ def test_pcd_writer(tmp_path):
     assert len(txt) == 11 + 16
 
 
+@pytest.mark.smoke
 def test_render_packs_argb():
     s = cornell_state(8, 8)
     s = s.replace(img=jnp.full((8, 8, 3), 0.5, jnp.float32))
@@ -177,6 +179,7 @@ def test_render_packs_argb():
     assert (argb_to_rgb(np.asarray(T.render(s))) == 255).all()
 
 
+@pytest.mark.smoke
 def test_key_state_machine():
     s = cornell_state(8, 8)
     # subsampling up/down (lib.fut:123-128)

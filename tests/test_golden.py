@@ -23,6 +23,7 @@ def state_with(accel, h=32, w=32, conf=0):
                   cam_origin=(0.0, 0.8, 1.8), accel=accel)
 
 
+@pytest.mark.smoke
 def test_dense_vs_lbvh_full_render():
     imgs = {}
     for accel in ("dense", "lbvh"):

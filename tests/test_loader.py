@@ -47,6 +47,7 @@ f 1 2 4
     return str(tmp_path / "s.obj")
 
 
+@pytest.mark.smoke
 def test_python_loader_tiny(tmp_path):
     tris, tm, mats = _load_obj_py(write_tiny_scene(tmp_path))
     assert tris.shape == (4, 3, 3)  # quad -> 2 tris + 2 single tris
@@ -71,6 +72,7 @@ def test_negative_and_positive_indices_equal(tmp_path):
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
+@pytest.mark.smoke
 def test_native_matches_python_tiny(tmp_path):
     p = write_tiny_scene(tmp_path)
     pt, pm, pmat = _load_obj_py(p)

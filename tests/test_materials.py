@@ -2,6 +2,7 @@
 
 Vectors use the hot-path V3 = (3, N) transposed convention."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ def test_cosine_hemisphere_distribution():
     assert abs(wi[2].mean() - 2 / 3) < 0.01
 
 
+@pytest.mark.smoke
 def test_reflect_is_mirror():
     w = jnp.asarray([[0.3], [0.4], [0.866]], jnp.float32)
     nrm = jnp.asarray([[0.0], [0.0], [1.0]], jnp.float32)
@@ -89,6 +91,7 @@ def test_diffuse_sample_consistency():
     np.testing.assert_allclose(ratio, 0.67, rtol=1e-4)
 
 
+@pytest.mark.smoke
 def test_uber_pdf_reversed_lerp_quirk():
     """uber_pdf lerps (metal, dielectric, metalness) — the reference's
     reversed order vs uber_bsdf (material.fut:358-361) must be preserved."""

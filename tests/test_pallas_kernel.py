@@ -1,5 +1,6 @@
 """Pallas fused intersector vs the XLA formulation (interpret mode on CPU)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -7,6 +8,7 @@ from tracer_tpu.ops import intersect, linalg as la
 from tracer_tpu.ops.pallas import intersect_kernel as pk
 
 
+@pytest.mark.smoke
 def test_pallas_matches_xla(rng_np, monkeypatch):
     # exact divide: this test pins the bf16x3 packing + epilogue math;
     # the approx-reciprocal default is covered by its own band test

@@ -22,6 +22,7 @@ needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
 
 
 @needs8
+@pytest.mark.smoke
 def test_tile_sharding_bit_identical():
     s = cornell_state(32, 32)
     mesh = par.make_mesh(8, 1)
@@ -117,6 +118,7 @@ def test_knob_key_covers_trace_knobs(monkeypatch):
 
 
 @needs8
+@pytest.mark.smoke
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

@@ -60,6 +60,27 @@ ASSETS = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
 
 JAX_SPP = 256
 
+
+@pytest.mark.smoke
+def test_smoke_micro_energy_parity():
+    """Fast tier: a 16x16 procedural-Cornell render through BOTH
+    estimators (numpy oracle live, no committed golden) must agree on
+    per-channel energy within generous MC noise. Catches gross
+    estimator breakage (lost emission, broken RR/NEE wiring) in
+    seconds; the full statistical pin is the golden-based tests."""
+    from verify.compare import render_tracer
+    from verify.ref_estimator_numpy import render as ref_render
+    from tracer_tpu.utils import testscenes
+
+    tris, tm, mats = testscenes.cornell_like()
+    mean_r, _, _ = ref_render(0, 16, 16, 24, tris, tm, mats,
+                              cam_origin=(0.0, 0.8, 1.8))
+    mean_j = render_tracer(16, 48, seed=0, obj="proc:cornell_like")
+    assert np.isfinite(mean_j).all() and np.isfinite(mean_r).all()
+    for c in range(3):
+        a, b = mean_r[..., c].mean(), mean_j[..., c].mean()
+        assert abs(b - a) / max(a, 1e-6) < 0.15, (c, a, b)
+
 # scene -> (golden file, obj spec for render_tracer, chi2 meaningful,
 #           clipped-energy floor)
 SCENES = {

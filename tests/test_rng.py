@@ -1,11 +1,13 @@
 """Statistical checks on the per-lane PCG sampler."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from tracer_tpu.ops import rng as prng
 
 
+@pytest.mark.smoke
 def test_unit_range_and_mean():
     st = prng.make_streams(0, 0, jnp.arange(1 << 14, dtype=jnp.uint32))
     st, u = prng.next_unit(st)
@@ -29,6 +31,7 @@ def test_streams_decorrelated_across_lanes_and_frames():
     assert abs(c2) < 0.05
 
 
+@pytest.mark.smoke
 def test_sequential_draws_advance():
     st = prng.make_streams(3, 0, jnp.arange(1024, dtype=jnp.uint32))
     st, a = prng.next_unit(st)

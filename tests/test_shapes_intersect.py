@@ -1,6 +1,7 @@
 """Geometry kernels: elementwise Moller test, slab AABB test, and the
 MXU matmul intersector cross-checked against the broadcast oracle."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ def random_rays(rng_np, n=65):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+@pytest.mark.smoke
 def test_hit_triangle_basic():
     tri = jnp.asarray(np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32))
     o = jnp.asarray(np.array([[0.2, 0.2, 1.0]], np.float32))
@@ -50,6 +52,7 @@ def test_hit_aabb_basic():
     assert bool(shapes.hit_aabb(1e30, o2, d, amin, amax)[0])
 
 
+@pytest.mark.smoke
 def test_dense_matches_bruteforce(rng_np):
     tris = random_scene(rng_np, t=37)
     o, d = random_rays(rng_np, n=65)

@@ -1,6 +1,7 @@
 """Spectrum lookup semantics vs a direct transcription of the reference's
 sequential knot scan (reference src/spectrum.fut:30-49)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def ref_lookup(v, knots):
     return x_below + (x_above - x_below) * (v - w_below) / (w_above - w_below)
 
 
+@pytest.mark.smoke
 def test_lookup_matches_reference_scan(rng_np):
     cases_k, cases_v = [], []
     for _ in range(200):

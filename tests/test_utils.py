@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import tracer_tpu as T
 from tracer_tpu.utils import checkpoint, profiling, testscenes
@@ -15,6 +16,7 @@ def small_state():
     return T.init(0, 8, 8, 0, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
 
 
+@pytest.mark.smoke
 def test_checkpoint_save_load_resume(tmp_path):
     s = T.step(small_state())
     p = str(tmp_path / "ck.npz")
@@ -72,6 +74,7 @@ def test_phase_timer():
     assert "total_s" in t.as_json()
 
 
+@pytest.mark.smoke
 def test_compiled_stats():
     stats = profiling.compiled_stats(lambda x: x @ x, jnp.eye(64))
     # cost analysis shape varies by backend; just require it not to crash
@@ -182,6 +185,7 @@ def test_bench_merge_never_clobbers_good_records():
     assert {r["config"]: r for r in out2}["spectrum"]["value"] == 60.0
 
 
+@pytest.mark.smoke
 def test_watchdog_fires_and_disarms():
     """_watchdog.arm: hard-exits with the given rc when not disarmed
     (even though the 'stuck' main thread never returns), and is a no-op

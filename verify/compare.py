@@ -53,6 +53,8 @@ def zstats(mean_ref, var_ref, n_ref, mean_jax, n_jax, eps=1e-12):
     valid = ~((se < eps) & (np.abs(diff) < eps))
     z = np.where(valid, diff / np.maximum(se, eps), 0.0)
     zv = z[valid]
+    if zv.size == 0:  # fully deterministic-and-equal images
+        zv = np.zeros(1)
     ref_e = mean_ref.reshape(-1, mean_ref.shape[-1]).mean(axis=0)
     jax_e = mean_jax.reshape(-1, mean_jax.shape[-1]).mean(axis=0)
     return dict(
