@@ -194,7 +194,8 @@ def _path_trace_flagged(st, ray_o, ray_d, wavelen, tris, mats, lights,
 
 
 def _render_flagged(seed, w, h, spp, tris, tri_mats, mat_rows, ieee_rr,
-                    cam_origin=(0.0, 0.8, 0.9)):  # make_golden.py mirrorbox
+                    cam_origin=(0.0, 0.8, 0.9),  # make_golden.py mirrorbox
+                    decorrelate=False):
     trs = R.Tris(tris, tri_mats)
     mats = R.Mats(mat_rows)
     lights = R.Lights(tris, tri_mats, mats)
@@ -214,11 +215,39 @@ def _render_flagged(seed, w, h, spp, tris, tri_mats, mat_rows, ieee_rr,
         iL = np.tile(i_flip, fc)
         st, wl, ch = R.sample_camera_wavelength(st)
         o, d = R.sample_camera_ray(st, origin, w, h, jL, iL)
+        if decorrelate:
+            # break the reference's jitter-reuse quirk: the path reads
+            # an INDEPENDENT stream instead of re-reading the camera's
+            # jitter/lens draws (camera.fut:86-102 -> integrator.fut:
+            # 86-101). The JAX tracer threads the advanced state, which
+            # is statistically this decorrelated estimator.
+            st = np.concatenate([
+                R.stream_states(seed ^ 0x5DEECE66, f0 + k, pixel_ix)
+                for k in range(fc)])
         st, total = _path_trace_flagged(st, o, d, wl, trs, mats, lights,
                                         ieee_rr, counters)
         vals = (F(3.0) * total)[:, None] * R.SENSOR_COLOR[ch]
         sum_img += vals.reshape(fc, npix, 3).astype(np.float64).sum(axis=0)
     return sum_img.reshape(h, w, 3) / spp, counters
+
+
+def cmd_reuse(size=32, spp=512):
+    """Measure the jitter-rng-reuse quirk's energy effect on MirrorBox:
+    oracle-with-quirk (the committed transliteration = the reference)
+    vs oracle-with-decorrelated-path-stream (= what the JAX tracer
+    effectively computes). If this reproduces the +5% green test gap,
+    the quirk is the root cause and the TRACER must adopt it."""
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mats = load_obj(os.path.join(ASSETS, "MirrorBox.obj"))
+    img_q, _ = _render_flagged(7, size, size, spp, tris, tm, mats,
+                               ieee_rr=False, decorrelate=False)
+    img_d, _ = _render_flagged(7, size, size, spp, tris, tm, mats,
+                               ieee_rr=False, decorrelate=True)
+    for cix, name in enumerate("RGB"):
+        a = img_q[..., cix].mean()   # with quirk (reference semantics)
+        b = img_d[..., cix].mean()   # decorrelated (tracer semantics)
+        print(f"  {name}: quirk {a:.5f}  decorrelated {b:.5f}  "
+              f"decorr-vs-quirk {(b - a) / max(a, 1e-12) * 100:+.2f}%")
 
 
 def cmd_rr(size=32, spp=256):
@@ -237,6 +266,187 @@ def cmd_rr(size=32, spp=256):
         b = img_ieee[..., cix].mean()
         print(f"  {name}: committed-oracle {a:.5f}  ieee-rr {b:.5f}  "
               f"rel {(b - a) / max(a, 1e-12) * 100:+.2f}%")
+
+
+# ---------------------------------------------------------------------------
+# surgery: isolate the guilty material by scene modification A/Bs
+
+
+def _flat_knots(v):
+    return [610.0, v, 550.0, v, 460.0, v, -1.0, 0.0, -1.0, 0.0, -1.0, 0.0]
+
+
+SURGERY = {
+    # MirrorBox tri materials: 5 = shortBox metal (Kd .9/.6/.1 r.1 ni8),
+    # 6 = tallBox diffuse white, 7 = light (Ke 30/25/22), 8 = the 12-tri
+    # mirror ROOM (rough 0, ni 50). Walls 0-4 have no triangles.
+    "base": lambda m: m,
+    "metal5_diffuse": lambda m: _setm(m, 5, rough=1.0, metal=0.0, ni=1.0),
+    "mirror_diffuse": lambda m: _setm(m, 8, rough=1.0, metal=0.0, ni=1.0,
+                                      kd=_flat_knots(0.73)),
+    "light_flat": lambda m: _setm(m, 7, ke=_flat_knots(25.0)),
+    "metal5_flat": lambda m: _setm(m, 5, kd=_flat_knots(0.6)),
+    "mirror_rough": lambda m: _setm(m, 8, rough=0.3),
+}
+
+
+def _setm(mats, ix, rough=None, metal=None, ni=None, kd=None, ke=None):
+    m = mats.copy()
+    if rough is not None:
+        m[ix, 12] = rough
+    if metal is not None:
+        m[ix, 13] = metal
+    if ni is not None:
+        m[ix, 14] = ni
+    if kd is not None:
+        m[ix, 0:12] = kd
+    if ke is not None:
+        m[ix, 16:28] = ke
+    return m
+
+
+def cmd_surgery(size=32, spp=256, variants=None):
+    import tracer_tpu as T
+
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mats0 = load_obj(os.path.join(ASSETS, "MirrorBox.obj"))
+    origin = (0.0, 0.8, 0.9)
+    for name in (variants or SURGERY):
+        mats = SURGERY[name](mats0)
+        mean_r, _, _ = R.render(7, size, size, spp, tris, tm, mats,
+                                cam_origin=origin)
+        s = T.init(0, size, size, 0, tris, tm, mats, cam_origin=origin)
+        mean_j = np.asarray(T.sample_n_frames(s, spp))
+        rels = [(mean_j[..., c].mean() - mean_r[..., c].mean())
+                / max(mean_r[..., c].mean(), 1e-9) * 100 for c in range(3)]
+        print(f"{name:16s} refRGB=({mean_r[..., 0].mean():.4f},"
+              f"{mean_r[..., 1].mean():.4f},{mean_r[..., 2].mean():.4f}) "
+              f"jax-vs-ref R{rels[0]:+.2f}% G{rels[1]:+.2f}% "
+              f"B{rels[2]:+.2f}%", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# depth: per-bounce energy + survival profiles on the real MirrorBox
+
+
+def _oracle_depth(seed, w, h, spp, tris, tri_mats, mat_rows,
+                  cam_origin=(0.0, 0.8, 0.9)):
+    """Oracle render that records, per bounce: processed-hit lane count
+    and per-channel energy contribution (3 * rad * sensor_color)."""
+    trs = R.Tris(tris, tri_mats)
+    mats = R.Mats(mat_rows)
+    lights = R.Lights(tris, tri_mats, mats)
+    origin = np.asarray(cam_origin, F)
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    j = jj.ravel().astype(F)
+    i_flip = (F(h) - ii.ravel().astype(F) - F(1.0))
+    pixel_ix = (ii.ravel() * w + jj.ravel()).astype(np.uint64)
+    n_eng = np.zeros((R.PATH_LEN, 3), np.float64)
+    n_hit = np.zeros(R.PATH_LEN, np.int64)
+    n_lanes = 0
+    for f0 in range(0, spp, 16):
+        fc = min(16, spp - f0)
+        st = np.concatenate([R.stream_states(seed, f0 + k, pixel_ix)
+                             for k in range(fc)])
+        jL = np.tile(j, fc)
+        iL = np.tile(i_flip, fc)
+        st, wl, ch = R.sample_camera_wavelength(st)
+        ray_o, ray_d = R.sample_camera_ray(st, origin, w, h, jL, iL)
+        L = ray_o.shape[0]
+        n_lanes += L
+        sc = R.SENSOR_COLOR[ch]  # (L, 3)
+        alive = np.ones(L, bool)
+        fmax = F(np.finfo(np.float32).max)
+        for bounce in range(R.PATH_LEN):
+            if not alive.any():
+                break
+            hit, t, pos, normal, mix = R.closest_hit(ray_o, ray_d, fmax,
+                                                     trs)
+            act = alive & hit
+            n_hit[bounce] += int(act.sum())
+            st_adv, _ = R.random_unit_exclusive(st)
+            st = np.where(act, st_adv, st)
+            m = R.MatAtWavelen(mats, mix, wl)
+            wo = -ray_d
+            st_d, direct = R.direct_radiance(st, wo, pos, normal, m, wl,
+                                             lights, trs)
+            st = np.where(act, st_d, st)
+            emis = R.spectrum_lookup(wl, mats.emission[mix])
+            rad = np.where(act, direct + (emis if bounce == 0 else F(0)),
+                           F(0))
+            n_eng[bounce] += ((F(3.0) * rad)[:, None] * sc).sum(axis=0)
+            st_s, smp = R.sample_dir(st, wo, normal, m)
+            st = np.where(act, st_s, st)
+            pdf = np.where(smp.kind == R.PDF_DELTA, F(1),
+                           np.where(smp.kind == R.PDF_NONZERO, smp.val,
+                                    F(0))).astype(F)
+            cos_fall = np.abs(R.dot(normal, smp.wi))
+            with np.errstate(invalid="ignore", divide="ignore",
+                             over="ignore"):
+                p_term = (1 - smp.bsdf * cos_fall / pdf).astype(F)
+            st_t, q = R.random_unit_exclusive(st)
+            st = np.where(act, st_t, st)
+            terminate = (pdf == 0) | (q < p_term) | ~np.isfinite(p_term)
+            alive = act & ~terminate
+            o2, d2 = R.mkray_adjust_acne(pos, normal, smp.wi)
+            ray_o = np.where(alive[:, None], o2, ray_o)
+            ray_d = np.where(alive[:, None], d2, ray_d)
+    return n_eng / (n_lanes / 3.0), n_hit / (n_lanes / 1.0)
+
+
+def _jax_depth(seed, size, spp, obj, cam_origin=(0.0, 0.8, 0.9)):
+    import jax.numpy as jnp
+
+    import tracer_tpu as T
+    from tracer_tpu.engine import integrator
+
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mats = load_obj(obj)
+    s = T.init(seed, size, size, 0, tris, tm, mats, cam_origin=cam_origin)
+    w, h = s.sub_dims
+    n_eng = np.zeros((integrator.PATH_LEN, 3), np.float64)
+    n_hit = np.zeros(integrator.PATH_LEN, np.int64)
+    n_lanes = 0
+    import jax
+
+    @jax.jit
+    def frame(nonce):
+        fs = integrator.sample_pixels(
+            jnp.uint32(seed), nonce, s.scene, s.cam, s.ambience, w, h,
+            s.transmitter_kind)
+        sc = jnp.take(s.cam.conf.sensor_color, fs.channel, axis=0)  # (N,3)
+        rad = fs.path.radiance                      # (K, N)
+        eng = (3.0 * rad)[:, :, None] * sc[None]    # (K, N, 3)
+        hitk = jnp.isfinite(fs.path.distance)
+        return eng.sum(axis=1), hitk.sum(axis=1)
+
+    for f in range(spp):
+        eng, hitk = frame(jnp.uint32(f))
+        n_eng += np.asarray(eng, np.float64)
+        n_hit += np.asarray(hitk, np.int64)
+        n_lanes += w * h
+    return n_eng / (n_lanes / 3.0), n_hit / (n_lanes / 1.0)
+
+
+def cmd_depth(size=32, spp=256):
+    obj = os.path.join(ASSETS, "MirrorBox.obj")
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mats = load_obj(obj)
+    eng_r, hit_r = _oracle_depth(7, size, size, spp, tris, tm, mats)
+    eng_j, hit_j = _jax_depth(0, size, spp, obj)
+    print(f"{'bounce':>6} {'hit_ref':>9} {'hit_jax':>9} {'G_ref':>10} "
+          f"{'G_jax':>10} {'dG%':>7}")
+    for k in range(eng_r.shape[0]):
+        if hit_r[k] == 0 and hit_j[k] == 0:
+            break
+        dg = ((eng_j[k, 1] - eng_r[k, 1])
+              / max(abs(eng_r[k, 1]), 1e-9) * 100)
+        print(f"{k:>6} {hit_r[k]:>9.4f} {hit_j[k]:>9.4f} "
+              f"{eng_r[k, 1]:>10.5f} {eng_j[k, 1]:>10.5f} {dg:>+6.1f}%")
+    for c, name in enumerate("RGB"):
+        a, b = eng_r[:, c].sum(), eng_j[:, c].sum()
+        print(f"total {name}: ref {a:.5f} jax {b:.5f} "
+              f"rel {(b - a) / max(a, 1e-9) * 100:+.2f}%")
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +531,8 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["terms", "rr", "probe"])
+    ap.add_argument("cmd", choices=["terms", "rr", "probe", "depth",
+                                    "reuse", "surgery"])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--kinds", default=None)
@@ -330,6 +541,13 @@ if __name__ == "__main__":
         cmd_terms()
     elif a.cmd == "rr":
         cmd_rr(size=a.size or 32, spp=a.spp or 256)
+    elif a.cmd == "depth":
+        cmd_depth(size=a.size or 32, spp=a.spp or 256)
+    elif a.cmd == "reuse":
+        cmd_reuse(size=a.size or 32, spp=a.spp or 512)
+    elif a.cmd == "surgery":
+        cmd_surgery(size=a.size or 32, spp=a.spp or 256,
+                    variants=a.kinds.split(",") if a.kinds else None)
     else:
         kw = {}
         if a.size:
