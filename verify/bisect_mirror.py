@@ -269,6 +269,60 @@ def cmd_rr(size=32, spp=256):
 
 
 # ---------------------------------------------------------------------------
+# chdecor: break the minstd channel<->path-draw correlation only
+
+
+def cmd_chdecor(size=32, spp=512):
+    """The reference's minstd engine makes the sensor-channel draw and
+    every downstream path draw deterministic functions of the same lane
+    state (an LCG is a bijection), so (channel, path events) are jointly
+    lattice-distributed — correlated — while the tracer's counter-PCG
+    streams are independent. This renders MirrorBox with the oracle
+    twice: committed (channel from the main stream, reference-bitwise)
+    vs channel+wavelength read from an INDEPENDENT stream (main stream
+    still advanced twice, so all other draws are IDENTICAL). Any energy
+    shift is pure channel<->path correlation — the candidate mechanism
+    for the green-only +4% (channel-conditioned firefly rates)."""
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mat_rows = load_obj(os.path.join(ASSETS, "MirrorBox.obj"))
+    trs = R.Tris(tris, tm)
+    mats = R.Mats(mat_rows)
+    lights = R.Lights(tris, tm, mats)
+    w = h = size
+    origin = np.asarray((0.0, 0.8, 0.9), F)
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    j = jj.ravel().astype(F)
+    i_flip = (F(h) - ii.ravel().astype(F) - F(1.0))
+    pixel_ix = (ii.ravel() * w + jj.ravel()).astype(np.uint64)
+    npix = w * h
+    sums = {"committed": np.zeros((npix, 3), np.float64),
+            "chdecor": np.zeros((npix, 3), np.float64)}
+    for f0 in range(0, spp, 16):
+        fc = min(16, spp - f0)
+        st0 = np.concatenate([R.stream_states(7, f0 + k, pixel_ix)
+                              for k in range(fc)])
+        side = np.concatenate([R.stream_states(7 ^ 0x00C0FFEE, f0 + k,
+                                               pixel_ix)
+                               for k in range(fc)])
+        jL = np.tile(j, fc)
+        iL = np.tile(i_flip, fc)
+        for mode in ("committed", "chdecor"):
+            st, wl, ch = R.sample_camera_wavelength(st0)
+            if mode == "chdecor":
+                _, wl, ch = R.sample_camera_wavelength(side)
+            o, d = R.sample_camera_ray(st, origin, w, h, jL, iL)
+            st, total = R.path_trace(st, o, d, wl, trs, mats, lights)
+            vals = (F(3.0) * total)[:, None] * R.SENSOR_COLOR[ch]
+            sums[mode] += vals.reshape(fc, npix, 3).astype(
+                np.float64).sum(axis=0)
+    for cix, name in enumerate("RGB"):
+        a = sums["committed"][:, cix].mean() / spp
+        b = sums["chdecor"][:, cix].mean() / spp
+        print(f"  {name}: committed {a:.5f}  chdecor {b:.5f}  "
+              f"decor-vs-committed {(b - a) / max(a, 1e-12) * 100:+.2f}%")
+
+
+# ---------------------------------------------------------------------------
 # surgery: isolate the guilty material by scene modification A/Bs
 
 
@@ -532,7 +586,7 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["terms", "rr", "probe", "depth",
-                                    "reuse", "surgery"])
+                                    "reuse", "surgery", "chdecor"])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--kinds", default=None)
@@ -548,6 +602,8 @@ if __name__ == "__main__":
     elif a.cmd == "surgery":
         cmd_surgery(size=a.size or 32, spp=a.spp or 256,
                     variants=a.kinds.split(",") if a.kinds else None)
+    elif a.cmd == "chdecor":
+        cmd_chdecor(size=a.size or 32, spp=a.spp or 512)
     else:
         kw = {}
         if a.size:
