@@ -4,28 +4,36 @@ numpy transliteration, with a 0.2% same-estimator control — a systematic
 divergence on metal paths (material.fut:346-355, integrator.fut:62-69)
 whose guilty side was unknown.
 
-Three independent attacks, cheapest first:
+Independent attacks, cheapest first (measured results in the docstring
+of each cmd_* and in docs/PARITY.md "mirrorbox investigation"):
 
-  terms   deterministic grid A/B of every metal-lobe formula (Beckmann D,
-          G, reflection bsdf/pdf, Fresnel, uber bsdf/pdf, RR throughput)
-          between verify/ref_estimator_numpy.py and
-          tracer_tpu/ops/materials.py on IDENTICAL (wo, wi) inputs —
-          a formula-level misreading shows up as a nonzero max rel diff.
+  terms    deterministic grid A/B of every metal-lobe formula on
+           IDENTICAL (wo, wi) inputs. MEASURED: clean (max 0.57% rel on
+           near-delta tiny values, 0 finite mismatches).
+  rr       the oracle's extra `~isfinite(p_term)` RR kill vs the
+           reference's IEEE `q < p_terminate`. MEASURED: 0 of 4.66M
+           lane-bounces affected on MirrorBox.
+  probe    single-material probe scenes through both estimators.
+           MEASURED: diffuse/metal03/chains clean.
+  reuse    the camera-jitter rng-reuse quirk (camera.fut:86-102).
+           MEASURED: G -0.52% — too small.
+  chdecor  minstd channel<->path-draw correlation. MEASURED: G -0.46%.
+  surgery  material-isolation A/Bs. MEASURED: gap needs the near-delta
+           mirror (mirror->diffuse kills it), NOT spectral (flat
+           light/metal spectra keep it).
+  depth    per-bounce, per-channel energy + survival profiles.
+           MEASURED: survival diverges +1.0%(G)/+1.3%(B) by bounce 15
+           (tracer keeps more lanes) — real but ~10x too small for the
+           energy gap.
+  rrsim    per-interaction sample_dir+RR survival A/B at 4M lanes.
+           MEASURED: E[p_cont] matches to 4e-5; survival shifts are
+           ~2 sigma, consistent with minstd sequential-draw correlation
+           at the few-1e-4 level.
+  halves   MirrorBox with only one MIS half active (MIS_HALF_SCALE
+           hooks in both estimators) — attributes the green excess to
+           the light-sample or BSDF-sample half of estimate_direct.
 
-  rr      renders MirrorBox with the oracle twice — once as committed
-          (terminate |= ~isfinite(p_term)) and once with the reference's
-          exact IEEE comparison semantics (integrator.fut:68-69:
-          `terminate = q < p_terminate`; q < NaN and q < -inf are FALSE,
-          so the reference CONTINUES those lanes) — and counts how many
-          lane-bounces the extra clause kills and how much green energy
-          it removes.
-
-  probe   single-material probe scenes (pure metal wall roughness 0 /
-          0.3, diffuse control) rendered by both estimators at high spp;
-          prints per-channel energy and z statistics per probe so the
-          divergent lobe/path-depth is localized.
-
-Run on CPU: `python verify/bisect_mirror.py terms|rr|probe`.
+Run on CPU: `python verify/bisect_mirror.py <cmd>`.
 """
 
 from __future__ import annotations
@@ -269,6 +277,216 @@ def cmd_rr(size=32, spp=256):
 
 
 # ---------------------------------------------------------------------------
+# engine: oracle estimator with the tracer's PCG engine swapped in
+
+
+def _pcg_patch():
+    """Monkeypatch the oracle's minstd engine with a numpy port of the
+    tracer's counter-PCG (ops/rng.py), leaving every estimator line
+    untouched. The derived samplers resolve the engine by module-global
+    name, so patching the four primitives re-bases everything."""
+    U64 = np.uint64
+    MULT, INC = U64(747796405), U64(2891336453)
+    M32 = U64(0xFFFFFFFF)
+
+    def permute(st):
+        word = (((st >> ((st >> U64(28)) + U64(4))) ^ st)
+                * U64(277803737)) & M32
+        return (word >> U64(22)) ^ word
+
+    def rand(st):
+        st = (st * MULT + INC) & M32
+        return st, permute(st)
+
+    def dist_rand(st, lo, hi):
+        st, v = rand(st)
+        u = (v >> U64(8)).astype(np.float64) / float(1 << 24)
+        return st, (F(lo) + F(hi - lo) * u.astype(F))
+
+    def random_unit_exclusive(st):
+        return dist_rand(st, 0.0, 0.9999)
+
+    def random_select_ix(st, n):
+        st, v = rand(st)
+        return st, (v % U64(n)).astype(np.int64)
+
+    def hash_u32(x):
+        return permute((x.astype(U64) * MULT + INC) & M32)
+
+    def stream_states(seed, frame, pixel_ix):
+        base = hash_u32(np.asarray(U64(seed) & M32)
+                        ^ hash_u32(np.asarray(U64(frame) & M32)))
+        return hash_u32(pixel_ix.astype(U64) ^ base)
+
+    saved = {k: getattr(R, k) for k in
+             ("rand", "dist_rand", "random_unit_exclusive",
+              "random_select_ix", "stream_states")}
+    R.rand = rand
+    R.dist_rand = dist_rand
+    R.random_unit_exclusive = random_unit_exclusive
+    R.random_select_ix = random_select_ix
+    R.stream_states = stream_states
+    return saved
+
+
+def cmd_engine(size=32, spp=384):
+    """THE global experiment: render MirrorBox with the ORACLE estimator
+    but the TRACER's RNG engine (counter-PCG swapped for minstd; every
+    estimator line identical). Compared against the committed minstd
+    golden AND a fresh tracer render: if oracle+PCG reproduces the
+    tracer's +4% green, the whole divergence is the RNG engine (the
+    documented deviation) and both estimator codes are exonerated."""
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mats = load_obj(os.path.join(ASSETS, "MirrorBox.obj"))
+    origin = (0.0, 0.8, 0.9)
+    g = np.load(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens",
+        "ref_numpy_mirrorbox32.npz"))
+    mean_g = g["mean"]
+
+    saved = _pcg_patch()
+    try:
+        mean_p, _, _ = R.render(7, size, size, spp, tris, tm, mats,
+                                cam_origin=origin)
+    finally:
+        for k, v in saved.items():
+            setattr(R, k, v)
+
+    import tracer_tpu as T
+    s = T.init(0, size, size, 0, tris, tm, mats, cam_origin=origin)
+    mean_j = np.asarray(T.sample_n_frames(s, spp))
+
+    for cix, name in enumerate("RGB"):
+        a = mean_g[..., cix].mean()        # minstd golden (seed 0, 512)
+        b = mean_p[..., cix].mean()        # oracle + PCG engine
+        c = mean_j[..., cix].mean()        # tracer
+        print(f"  {name}: minstd-golden {a:.5f}  oracle+pcg {b:.5f} "
+              f"({(b - a) / a * 100:+.2f}%)  tracer {c:.5f} "
+              f"({(c - a) / a * 100:+.2f}%)")
+
+
+# ---------------------------------------------------------------------------
+# halves: split the NEE MIS halves across both estimators
+
+
+def cmd_halves(size=32, spp=384):
+    """Renders MirrorBox with only ONE MIS half active at a time (both
+    estimators patched via their MIS_HALF_SCALE hooks) — attributes the
+    +4% green excess to the light-sample half or the BSDF-sample half
+    of estimate_direct (direct.fut:63-103)."""
+    import tracer_tpu as T
+    from tracer_tpu.engine import direct as jdirect
+
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mats = load_obj(os.path.join(ASSETS, "MirrorBox.obj"))
+    origin = (0.0, 0.8, 0.9)
+    for name, scale in (("light-only", (1.0, 0.0)),
+                        ("bsdf-only", (0.0, 1.0))):
+        import jax
+
+        jax.clear_caches()  # the scale is baked in at trace time
+        R.MIS_HALF_SCALE = scale
+        jdirect.MIS_HALF_SCALE = scale
+        try:
+            mean_r, _, _ = R.render(7, size, size, spp, tris, tm, mats,
+                                    cam_origin=origin)
+            s = T.init(0, size, size, 0, tris, tm, mats,
+                       cam_origin=origin)
+            mean_j = np.asarray(T.sample_n_frames(s, spp))
+        finally:
+            R.MIS_HALF_SCALE = (1.0, 1.0)
+            jdirect.MIS_HALF_SCALE = (1.0, 1.0)
+        rels = [(mean_j[..., c].mean() - mean_r[..., c].mean())
+                / max(mean_r[..., c].mean(), 1e-9) * 100
+                for c in range(3)]
+        print(f"{name:11s} refRGB=({mean_r[..., 0].mean():.4f},"
+              f"{mean_r[..., 1].mean():.4f},{mean_r[..., 2].mean():.4f}) "
+              f"jax-vs-ref R{rels[0]:+.2f}% G{rels[1]:+.2f}% "
+              f"B{rels[2]:+.2f}%", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# rrsim: direct A/B of the metal sample_dir + unit-weight-RR composite
+
+
+def cmd_rrsim(n=4_000_000):
+    """Per-interaction survival A/B: for fixed (wo, metal material),
+    both implementations run sample_dir then the RR test with their own
+    rng; survival = (pdf != 0) & ~(u < 1 - bsdf*cos/pdf). The depth
+    channel-split showed the tracer keeps ~+0.07%/bounce more G/B
+    lanes alive; if that is a per-metal-interaction survival shift it
+    reproduces here at 4M lanes (binomial SE ~0.05% abs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracer_tpu.ops import materials as JM
+    from tracer_tpu.ops import rng as jprng
+
+    for rough, ni, color, th in [(0.1, 8.0, 0.9, 0.5),
+                                 (0.1, 8.0, 0.52, 0.5),
+                                 (0.1, 8.0, 0.1, 0.5),
+                                 (0.1, 8.0, 0.1, 1.1),
+                                 (0.0, 50.0, 1.0, 0.5),
+                                 (1.0, 1.0, 0.7, 0.5)]:
+        metal = 1.0 if ni > 1.0 else 0.0
+        # --- oracle side (minstd streams)
+        st = R.stream_states(3, 0, np.arange(n, dtype=np.uint64))
+        m_np = _M(color, rough, metal, ni, 1.0)
+        wo1 = np.array([np.sin(th), 0.0, np.cos(th)], F)
+        wo = np.broadcast_to(wo1, (n, 3)).copy()
+        normal = np.broadcast_to(np.array([0.0, 0.0, 1.0], F),
+                                 (n, 3)).copy()
+        st, smp = R.sample_dir(st, wo, normal, m_np)
+        pdf = np.where(smp.kind == R.PDF_DELTA, F(1),
+                       np.where(smp.kind == R.PDF_NONZERO, smp.val,
+                                F(0))).astype(F)
+        cos_fall = np.abs(R.dot(normal, smp.wi))
+        with np.errstate(invalid="ignore", divide="ignore",
+                         over="ignore"):
+            p_term = (1 - smp.bsdf * cos_fall / pdf).astype(F)
+        st, q = R.random_unit_exclusive(st)
+        surv_r = (pdf != 0) & ~(q < p_term)
+        pc_r = np.where(pdf != 0, 1 - p_term, 0.0)
+
+        # --- jax side (counter-PCG streams)
+        state = jprng.make_streams(jnp.uint32(9), jnp.uint32(0),
+                                   jnp.arange(n, dtype=jnp.uint32))
+        mj = JM.MaterialLanes(
+            color=jnp.full((n,), color, jnp.float32),
+            roughness=jnp.full((n,), rough, jnp.float32),
+            metalness=jnp.full((n,), metal, jnp.float32),
+            ref_ix=jnp.full((n,), ni, jnp.float32),
+            opacity=jnp.full((n,), 1.0, jnp.float32))
+        wo_j = jnp.asarray(wo.T)
+        nr_j = jnp.asarray(normal.T)
+
+        @jax.jit
+        def run(state):
+            state, wi, bsdf, pdf_val, pdf_kind = JM.sample_dir(
+                state, wo_j, nr_j, mj)
+            pdf = jnp.where(pdf_kind == JM.PDF_DELTA, 1.0,
+                            jnp.where(pdf_kind == JM.PDF_NONZERO,
+                                      pdf_val, 0.0))
+            cosf = jnp.abs(jnp.sum(nr_j * wi, axis=0))
+            p_term = 1.0 - bsdf * cosf / pdf
+            state, u = jprng.next_unit(state)
+            surv = (pdf != 0) & ~(u < p_term)
+            return surv, jnp.where(pdf != 0, 1.0 - p_term, 0.0)
+
+        surv_j, pc_j = (np.asarray(x) for x in run(state))
+        fin_r = pc_r[np.isfinite(pc_r)]
+        fin_j = pc_j[np.isfinite(pc_j)]
+        print(f"rough={rough} ni={ni} color={color} th={th}: "
+              f"surv ref {surv_r.mean():.5f} jax {surv_j.mean():.5f} "
+              f"rel {(surv_j.mean() - surv_r.mean()) / surv_r.mean() * 100:+.2f}% | "
+              f"E[p_cont] ref {fin_r.mean():.5f} jax {fin_j.mean():.5f} | "
+              f"p_cont>1 ref {(fin_r > 1).mean() * 100:.3f}% "
+              f"jax {(fin_j > 1).mean() * 100:.3f}% | "
+              f"nonfin ref {(~np.isfinite(pc_r)).mean() * 100:.4f}% "
+              f"jax {(~np.isfinite(pc_j)).mean() * 100:.4f}%")
+
+
+# ---------------------------------------------------------------------------
 # chdecor: break the minstd channel<->path-draw correlation only
 
 
@@ -397,6 +615,7 @@ def _oracle_depth(seed, w, h, spp, tris, tri_mats, mat_rows,
     pixel_ix = (ii.ravel() * w + jj.ravel()).astype(np.uint64)
     n_eng = np.zeros((R.PATH_LEN, 3), np.float64)
     n_hit = np.zeros(R.PATH_LEN, np.int64)
+    n_hit_ch = np.zeros((R.PATH_LEN, 3), np.int64)
     n_lanes = 0
     for f0 in range(0, spp, 16):
         fc = min(16, spp - f0)
@@ -418,6 +637,8 @@ def _oracle_depth(seed, w, h, spp, tris, tri_mats, mat_rows,
                                                      trs)
             act = alive & hit
             n_hit[bounce] += int(act.sum())
+            for c in range(3):
+                n_hit_ch[bounce, c] += int((act & (ch == c)).sum())
             st_adv, _ = R.random_unit_exclusive(st)
             st = np.where(act, st_adv, st)
             m = R.MatAtWavelen(mats, mix, wl)
@@ -445,7 +666,8 @@ def _oracle_depth(seed, w, h, spp, tris, tri_mats, mat_rows,
             o2, d2 = R.mkray_adjust_acne(pos, normal, smp.wi)
             ray_o = np.where(alive[:, None], o2, ray_o)
             ray_d = np.where(alive[:, None], d2, ray_d)
-    return n_eng / (n_lanes / 3.0), n_hit / (n_lanes / 1.0)
+    return (n_eng / (n_lanes / 3.0), n_hit / (n_lanes / 1.0),
+            n_hit_ch * 3.0 / n_lanes)
 
 
 def _jax_depth(seed, size, spp, obj, cam_origin=(0.0, 0.8, 0.9)):
@@ -454,14 +676,19 @@ def _jax_depth(seed, size, spp, obj, cam_origin=(0.0, 0.8, 0.9)):
     import tracer_tpu as T
     from tracer_tpu.engine import integrator
 
-    from tracer_tpu.utils.objloader import load_obj
-    tris, tm, mats = load_obj(obj)
+    if isinstance(obj, tuple):
+        tris, tm, mats = obj
+    else:
+        from tracer_tpu.utils.objloader import load_obj
+        tris, tm, mats = load_obj(obj)
     s = T.init(seed, size, size, 0, tris, tm, mats, cam_origin=cam_origin)
     w, h = s.sub_dims
     n_eng = np.zeros((integrator.PATH_LEN, 3), np.float64)
     n_hit = np.zeros(integrator.PATH_LEN, np.int64)
     n_lanes = 0
     import jax
+
+    n_hit_ch = np.zeros((integrator.PATH_LEN, 3), np.int64)
 
     @jax.jit
     def frame(nonce):
@@ -472,31 +699,47 @@ def _jax_depth(seed, size, spp, obj, cam_origin=(0.0, 0.8, 0.9)):
         rad = fs.path.radiance                      # (K, N)
         eng = (3.0 * rad)[:, :, None] * sc[None]    # (K, N, 3)
         hitk = jnp.isfinite(fs.path.distance)
-        return eng.sum(axis=1), hitk.sum(axis=1)
+        hitc = jnp.stack([(hitk & (fs.channel == c)[None]).sum(axis=1)
+                          for c in range(3)], axis=1)
+        return eng.sum(axis=1), hitk.sum(axis=1), hitc
 
     for f in range(spp):
-        eng, hitk = frame(jnp.uint32(f))
+        eng, hitk, hitc = frame(jnp.uint32(f))
         n_eng += np.asarray(eng, np.float64)
         n_hit += np.asarray(hitk, np.int64)
+        n_hit_ch += np.asarray(hitc, np.int64)
         n_lanes += w * h
-    return n_eng / (n_lanes / 3.0), n_hit / (n_lanes / 1.0)
+    return (n_eng / (n_lanes / 3.0), n_hit / (n_lanes / 1.0),
+            n_hit_ch * 3.0 / n_lanes)
 
 
-def cmd_depth(size=32, spp=256):
+def cmd_depth(size=32, spp=256, variant=None):
     obj = os.path.join(ASSETS, "MirrorBox.obj")
     from tracer_tpu.utils.objloader import load_obj
     tris, tm, mats = load_obj(obj)
-    eng_r, hit_r = _oracle_depth(7, size, size, spp, tris, tm, mats)
-    eng_j, hit_j = _jax_depth(0, size, spp, obj)
+    if variant == "allmetal":
+        # every non-light surface becomes the shortBox metal: per-bounce
+        # survival is then ~purely the metal RR, so a per-interaction
+        # survival divergence reads off directly per channel
+        for ix in (6, 8):
+            mats[ix] = mats[5]
+        obj = (tris, tm, mats)
+    eng_r, hit_r, hch_r = _oracle_depth(7, size, size, spp, tris, tm,
+                                        mats)
+    eng_j, hit_j, hch_j = _jax_depth(0, size, spp, obj)
     print(f"{'bounce':>6} {'hit_ref':>9} {'hit_jax':>9} {'G_ref':>10} "
-          f"{'G_jax':>10} {'dG%':>7}")
+          f"{'G_jax':>10} {'dG%':>7}  per-channel survival d% (R G B)")
     for k in range(eng_r.shape[0]):
         if hit_r[k] == 0 and hit_j[k] == 0:
             break
         dg = ((eng_j[k, 1] - eng_r[k, 1])
               / max(abs(eng_r[k, 1]), 1e-9) * 100)
+        # channel index c: 0 = blue sensor, 1 = green, 2 = red
+        dch = [(hch_j[k, c] - hch_r[k, c])
+               / max(hch_r[k, c], 1e-9) * 100 for c in (2, 1, 0)]
         print(f"{k:>6} {hit_r[k]:>9.4f} {hit_j[k]:>9.4f} "
-              f"{eng_r[k, 1]:>10.5f} {eng_j[k, 1]:>10.5f} {dg:>+6.1f}%")
+              f"{eng_r[k, 1]:>10.5f} {eng_j[k, 1]:>10.5f} {dg:>+6.1f}%  "
+              f"{dch[0]:+6.2f} {dch[1]:+6.2f} {dch[2]:+6.2f}")
     for c, name in enumerate("RGB"):
         a, b = eng_r[:, c].sum(), eng_j[:, c].sum()
         print(f"total {name}: ref {a:.5f} jax {b:.5f} "
@@ -586,7 +829,8 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["terms", "rr", "probe", "depth",
-                                    "reuse", "surgery", "chdecor"])
+                                    "reuse", "surgery", "chdecor",
+                                    "rrsim", "halves", "engine"])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--kinds", default=None)
@@ -596,7 +840,7 @@ if __name__ == "__main__":
     elif a.cmd == "rr":
         cmd_rr(size=a.size or 32, spp=a.spp or 256)
     elif a.cmd == "depth":
-        cmd_depth(size=a.size or 32, spp=a.spp or 256)
+        cmd_depth(size=a.size or 32, spp=a.spp or 256, variant=a.kinds)
     elif a.cmd == "reuse":
         cmd_reuse(size=a.size or 32, spp=a.spp or 512)
     elif a.cmd == "surgery":
@@ -604,6 +848,12 @@ if __name__ == "__main__":
                     variants=a.kinds.split(",") if a.kinds else None)
     elif a.cmd == "chdecor":
         cmd_chdecor(size=a.size or 32, spp=a.spp or 512)
+    elif a.cmd == "rrsim":
+        cmd_rrsim()
+    elif a.cmd == "halves":
+        cmd_halves(size=a.size or 32, spp=a.spp or 384)
+    elif a.cmd == "engine":
+        cmd_engine(size=a.size or 32, spp=a.spp or 384)
     else:
         kw = {}
         if a.size:

@@ -61,9 +61,20 @@ def main():
     ap.add_argument("--scenes", default="cornell,mirrorbox,prism")
     ap.add_argument("--outdir", default=os.path.join(ROOT, "tests",
                                                      "goldens"))
+    ap.add_argument("--engine", choices=["minstd", "pcg"],
+                    default="minstd",
+                    help="RNG engine: minstd = bitwise reference "
+                         "(cpprandom); pcg = the tracer's counter-PCG "
+                         "ported into the oracle (verify/bisect_mirror."
+                         "_pcg_patch) — isolates estimator semantics "
+                         "from engine-induced bias (docs/PARITY.md "
+                         "'mirrorbox investigation')")
     args = ap.parse_args()
 
     from verify.ref_estimator_numpy import render
+    if args.engine == "pcg":
+        from verify.bisect_mirror import _pcg_patch
+        _pcg_patch()
 
     for name in args.scenes.split(","):
         spec, origin, size, spp, spp_ctrl, fname = SCENES[name]
@@ -78,7 +89,8 @@ def main():
             out, mean=mean.astype(np.float32), var=var.astype(np.float32),
             spp=spp, mean_ctrl=mean_c.astype(np.float32),
             spp_ctrl=spp_ctrl, seed=SEED, seed_ctrl=SEED_CTRL, size=size,
-            origin=np.asarray(origin, np.float32))
+            origin=np.asarray(origin, np.float32),
+            engine=np.str_(args.engine))
         print(f"{name}: wrote {out} in {time.time() - t0:.0f}s",
               flush=True)
 

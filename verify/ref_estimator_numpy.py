@@ -662,6 +662,11 @@ def occluded(hit_pos, hit_normal, lightp, tris: Tris):
     return backface | any_hit(o, d, (distance - F(0.01)).astype(F), tris)
 
 
+# Test-only hook mirroring engine/direct.py MIS_HALF_SCALE (parity
+# bisection of the two MIS halves); (1, 1) is the identity.
+MIS_HALF_SCALE = (1.0, 1.0)
+
+
 def balance(pdf_f, pdf_g):
     """direct.fut:58-60 with nf = ng = 1."""
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -716,7 +721,8 @@ def estimate_direct(st, wo, hit_pos, hit_normal, m, wavelen,
         np.where(smp.kind == PDF_NONZERO, nonzero_contrib, F(0)))
     bsdf_rad = np.where(lv & ~occ2, contrib, F(0)).astype(F)
     bsdf_rad = np.where(np.isfinite(bsdf_rad), bsdf_rad, F(0))
-    return st, (light_rad + bsdf_rad).astype(F)
+    return st, (F(MIS_HALF_SCALE[0]) * light_rad
+                + F(MIS_HALF_SCALE[1]) * bsdf_rad).astype(F)
 
 
 def direct_radiance(st, wo, hit_pos, hit_normal, m, wavelen,
