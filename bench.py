@@ -17,7 +17,13 @@ Values above a physical sanity ceiling are refused (exit 2), never printed.
 
 Prints exactly one JSON line:
   {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
-   "vs_baseline": N/50}
+   "vs_baseline": N/50, "achieved_tflops": N, "mfu_pct": N}
+
+achieved_tflops = XLA cost-analysis FLOPs of the timed executable /
+steady-state wall time; mfu_pct is that against the chip's bf16 MXU
+peak (v5e: 197 TFLOP/s). The intrinsic ceiling is well below 100%:
+the intersector matmuls carry K=10/16 coefficient padding and fp32
+accuracy via bf16x3 packing (docs/PERF.md "MFU accounting").
 """
 
 import json
@@ -96,6 +102,39 @@ def _arm_deadline():
         "stalled mid-compile/run?); refusing to hang", rc=4)
 
 
+def _peak_tflops():
+    """Per-chip bf16 MXU peak for the device jax selected; None when the
+    platform has no meaningful published peak (CPU runs)."""
+    import jax
+
+    d = jax.devices()[0]
+    if d.platform != "tpu":
+        return None
+    kind = d.device_kind.lower()
+    # bf16 dense peaks, TFLOP/s per chip (public spec sheets)
+    table = {"v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
+             "v5p": 459.0, "v4": 275.0, "v6 lite": 918.0,
+             "v6e": 918.0}
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 197.0  # default to the driver's v5e
+
+
+def _flops_of(chunk, *args):
+    """Total XLA-counted FLOPs of one timed executable (all reps), via
+    compiled cost analysis (utils/profiling.compiled_stats pattern);
+    None when the backend doesn't report it."""
+    try:
+        cost = chunk.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
 def main():
     import _cpu_pin
     _cpu_pin.maybe_force_from_env()  # JAX_PLATFORMS=cpu actually forces CPU
@@ -115,9 +154,12 @@ def main():
 
     # compile + warmup (untimed)
     np.asarray(chunk(s.seed, fresh_nonce(), s.scene, s.cam, s.ambience))
+    flops = _flops_of(chunk, s.seed, fresh_nonce(), s.scene, s.cam,
+                      s.ambience)
     roundtrip = roundtrip_s()
 
     samples = []
+    times = []
     for _ in range(passes):
         nonce0 = fresh_nonce()
         t0 = time.perf_counter()
@@ -126,9 +168,15 @@ def main():
         total_rays = float(out[0])
         mrays = total_rays / max(dt - roundtrip, 1e-9) / 1e6
         samples.append(mrays)
+        times.append(max(dt - roundtrip, 1e-9))
 
-    samples.sort()
-    mrays = samples[len(samples) // 2]  # median over passes
+    order = np.argsort(samples)
+    mid = order[len(order) // 2]
+    mrays = samples[mid]  # median over passes
+    achieved_tflops = (flops / times[mid] / 1e12) if flops else None
+    peak = _peak_tflops()
+    mfu_pct = (100.0 * achieved_tflops / peak
+               if achieved_tflops and peak else None)
     if not np.isfinite(mrays) or mrays <= 0 or mrays > SANITY_CEILING_MRAYS:
         print(f"bench: implausible measurement {samples} Mrays/s "
               f"(ceiling {SANITY_CEILING_MRAYS}); refusing to report",
@@ -140,6 +188,9 @@ def main():
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 50.0, 3),
+        "achieved_tflops": (round(achieved_tflops, 3)
+                            if achieved_tflops else None),
+        "mfu_pct": round(mfu_pct, 2) if mfu_pct else None,
     }))
 
 

@@ -321,6 +321,128 @@ def walk(args):
                   f"{el / 1e9:>10.2f} {el / max(base, 1):>8.2f}")
 
 
+def perm(args):
+    """Predict the BOUNDARY-ONLY ray-permutation attack (round-3 VERDICT
+    "Next #2a"): at each closest query, sort lanes by a coherence key
+    (direction octant / morton-of-direction / origin+direction morton),
+    run the scheduler + member culls on the sorted order, and compare
+    MXU element-work vs the production (unsorted) order. Lane state
+    never moves in the real implementation — only the query inputs are
+    permuted and the 5 outputs inverse-permuted — so the win threshold
+    is the argsort+13-vector gather cost (~small); a >=25% element-work
+    cut is worth an e2e TPU measurement."""
+    import jax.numpy as jnp
+
+    from tracer_tpu.ops import intersect
+    from tracer_tpu.ops.pallas import intersect_kernel as pk
+
+    data = np.load(args.pop, allow_pickle=False)
+    tris = jnp.asarray(data["tris"])
+    n_pops = int(data["n"])
+    kinds = data["kinds"]
+
+    def key_none(o, d):
+        return None
+
+    def key_oct(o, d):
+        # 3-bit direction octant (stable sort keeps locality within)
+        return ((d[0] >= 0).astype(np.int64) * 4
+                + (d[1] >= 0).astype(np.int64) * 2
+                + (d[2] >= 0).astype(np.int64))
+
+    def _morton(x, y, z, bits=10):
+        def spread(v):
+            v = v.astype(np.uint64)
+            v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+            v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+            v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+            v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+            return v
+        return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) \
+            | spread(z)
+
+    def _quant(v, lo, hi, bits=10):
+        q = np.clip((v - lo) / max(hi - lo, 1e-9), 0.0, 0.999999)
+        return (q * (1 << bits)).astype(np.uint64)
+
+    def key_dmorton(o, d):
+        return _morton(_quant(d[0], -1, 1), _quant(d[1], -1, 1),
+                       _quant(d[2], -1, 1))
+
+    def key_odmorton(o, d):
+        lo = o.min(axis=1, keepdims=True)
+        hi = o.max(axis=1, keepdims=True)
+        om = _morton(
+            _quant(o[0], lo[0, 0], hi[0, 0], 5),
+            _quant(o[1], lo[1, 0], hi[1, 0], 5),
+            _quant(o[2], lo[2, 0], hi[2, 0], 5))
+        dm = _morton(_quant(d[0], -1, 1, 5), _quant(d[1], -1, 1, 5),
+                     _quant(d[2], -1, 1, 5))
+        return (om.astype(np.int64) << 15) | dm.astype(np.int64)
+
+    policies = dict(prod=key_none, octant=key_oct, dmorton=key_dmorton,
+                    odmorton=key_odmorton)
+
+    for kind_sel in ("closest", "anyhit"):
+        sel = [i for i in range(n_pops)
+               if kinds[i] == kind_sel][::args.every]
+        chunk_t, tile_n = (int(x) for x in args.combo.split("/"))
+        dense = _build_dense_at(tris, chunk_t)
+        bounds = np.asarray(dense.chunk_bounds)
+        n_chunks = bounds.shape[0]
+        g = -(-n_chunks // pk.MAX_SCHED)
+        sb = (dense.chunk_bounds if g == 1
+              else pk._superchunk_bounds(dense.chunk_bounds, g))
+        n_super = np.asarray(sb).shape[0]
+
+        print(f"\n== {kind_sel} ({len(sel)} sampled), combo "
+              f"c{chunk_t}/t{tile_n}")
+        print(f"{'policy':>9} {'sched/tile':>10} {'MXU Gelem':>10} "
+              f"{'visits(k)':>10} {'vs prod':>8}")
+        stats = {p: [0, 0, 0.0, 0] for p in policies}
+        for i in sel:
+            o0, d0, t0 = data[f"o{i}"], data[f"d{i}"], data[f"t{i}"]
+            for pol, keyfn in policies.items():
+                k = keyfn(o0, d0)
+                if k is None:
+                    o, d, tmax = o0, d0, t0
+                else:
+                    pi = np.argsort(k, kind="stable")
+                    o, d, tmax = o0[:, pi], d0[:, pi], t0[pi]
+                n = o.shape[1]
+                pad = (-n) % tile_n
+                if pad:
+                    o = np.concatenate([o, np.repeat(o[:, -1:], pad, 1)],
+                                       1)
+                    d = np.concatenate([d, np.repeat(d[:, -1:], pad, 1)],
+                                       1)
+                    tmax = np.concatenate([tmax,
+                                           np.repeat(tmax[-1:], pad)])
+                n_tiles = o.shape[1] // tile_n
+                phi = np.asarray(intersect.ray_features_t(
+                    jnp.asarray(o), jnp.asarray(d)))
+                phi16 = np.pad(phi, ((0, 6), (0, 0)))
+                order, count = pk._tile_chunk_order(
+                    jnp.asarray(phi16), jnp.asarray(tmax),
+                    jnp.asarray(sb), n_tiles, tile_n)
+                order, count = np.asarray(order), np.asarray(count)
+                mem_pass = _slab_any_per_tile(bounds, o, d, tmax, tile_n)
+                sched = np.zeros((n_super, n_tiles), bool)
+                for ti in range(n_tiles):
+                    sched[order[ti, :count[ti]], ti] = True
+                sched_mem = np.repeat(sched, g, axis=0)[:n_chunks]
+                passes = sched_mem & mem_pass
+                stats[pol][0] += int(count.sum())
+                stats[pol][1] += int(passes.sum())
+                stats[pol][2] += float(passes.sum()) * chunk_t * tile_n
+                stats[pol][3] += n_tiles
+        base = stats["prod"][2]
+        for pol in policies:
+            sc, vis, el, nt = stats[pol]
+            print(f"{pol:>9} {sc / max(nt, 1):>10.1f} {el / 1e9:>10.2f} "
+                  f"{vis / 1e3:>10.1f} {el / max(base, 1):>8.2f}")
+
+
 def _build_dense_at(tris, chunk_t: int):
     from tracer_tpu.ops import intersect
 
@@ -468,8 +590,14 @@ def main():
     w.add_argument("--pop", default="/tmp/sched_pop.npz")
     w.add_argument("--every", type=int, default=4)
     w.add_argument("--combos", default="256/2048,128/512,64/256")
+    p = sub.add_parser("perm")
+    p.add_argument("--pop", default="/tmp/sched_pop.npz")
+    p.add_argument("--every", type=int, default=4)
+    p.add_argument("--combo", default="256/2048",
+                   help="chunk_t/tile_n (production default)")
     args = ap.parse_args()
-    {"capture": capture, "analyze": analyze, "walk": walk}[args.cmd](args)
+    {"capture": capture, "analyze": analyze, "walk": walk,
+     "perm": perm}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -366,6 +366,125 @@ def cmd_engine(size=32, spp=384):
 
 
 # ---------------------------------------------------------------------------
+# verdict: the decisive seed-swept, engine-controlled run of the TEST'S
+# EXACT clipped-energy statistic, with a gold-standard iid arbiter
+
+
+def _iid_patch(rng_seed):
+    """Replace the oracle engine with TRUE iid draws from numpy PCG64
+    (gold-standard, no lattice/serial structure). The oracle's state
+    threading becomes a no-op; since every consumed value is iid
+    uniform, masked/discarded draws are statistically irrelevant."""
+    g = np.random.default_rng(rng_seed)
+
+    def rand(st):
+        v = np.asarray(g.integers(1, int(R.M31) - 1, size=st.shape),
+                       np.uint64)
+        return st, v
+
+    def dist_rand(st, lo, hi):
+        u = g.random(st.shape)
+        return st, (F(lo) + F(hi - lo) * u.astype(F))
+
+    def random_unit_exclusive(st):
+        return dist_rand(st, 0.0, 0.9999)
+
+    def random_select_ix(st, n):
+        return st, np.asarray(g.integers(0, n, size=st.shape), np.int64)
+
+    def stream_states(seed, frame, pixel_ix):
+        return np.ones(pixel_ix.shape, np.uint64)
+
+    saved = {k: getattr(R, k) for k in
+             ("rand", "dist_rand", "random_unit_exclusive",
+              "random_select_ix", "stream_states")}
+    R.rand = rand
+    R.dist_rand = dist_rand
+    R.random_unit_exclusive = random_unit_exclusive
+    R.random_select_ix = random_select_ix
+    R.stream_states = stream_states
+    return saved
+
+
+def _clipped_diff(golden_mean, probe_mean):
+    """tests/test_ref_estimator.py::_clipped_energy_diff verbatim:
+    per-channel signed relative clipped-energy difference."""
+    out = []
+    for c in range(3):
+        a = golden_mean[..., c].ravel()
+        b = probe_mean[..., c].ravel()
+        hi = np.quantile(np.concatenate([a, b]), 0.99)
+        am, bm = a.clip(0, hi).mean(), b.clip(0, hi).mean()
+        out.append((bm - am) / am)
+    return out
+
+
+def cmd_verdict(size=32, spp=256, seeds=(1, 2, 3, 11, 13)):
+    """THE arbitration experiment for the mirrorbox +5.3% G failure.
+
+    Renders MirrorBox probes at `spp` through the ORACLE with three
+    engines — minstd (reference-bitwise), pcg (the tracer's engine),
+    iid (numpy PCG64, gold standard) — at several seeds each, plus the
+    TRACER at several seeds, and evaluates the committed test's exact
+    per-channel clipped-energy statistic against the committed minstd
+    golden (seed 7, 512 spp). Error bars come from the seed spread.
+
+    Readout:
+      - iid & pcg cluster together, away from minstd near 0
+          -> the gap is a minstd-engine artifact of the REFERENCE's RNG
+             (serial correlation on near-delta specular paths); both
+             estimator codes are exonerated (lockstep already proved
+             semantic identity).
+      - iid clusters with minstd near 0, tracer/pcg away
+          -> the tracer's counter-PCG stream structure is biased: a
+             real tracer bug in ops/rng.py.
+      - all three oracle engines near 0, tracer alone away
+          -> a tracer defect OUTSIDE the draws (contradicting lockstep;
+             would mean lockstep's coverage missed the guilty config).
+    """
+    from tracer_tpu.utils.objloader import load_obj
+    tris, tm, mats = load_obj(os.path.join(ASSETS, "MirrorBox.obj"))
+    origin = (0.0, 0.8, 0.9)
+    g = np.load(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens",
+        "ref_numpy_mirrorbox32.npz"))
+    mean_g = g["mean"]
+
+    def report(tag, mean_p):
+        d = _clipped_diff(mean_g, mean_p)
+        print(f"  {tag:16s} dR {d[0] * 100:+6.2f}%  dG {d[1] * 100:+6.2f}%"
+              f"  dB {d[2] * 100:+6.2f}%", flush=True)
+
+    print(f"clipped-energy diff vs committed minstd golden "
+          f"(seed 7, 512 spp), probes {size}x{size}x{spp}spp")
+    import time
+    for eng in ("minstd", "pcg", "iid"):
+        for sd in seeds:
+            t0 = time.time()
+            if eng == "minstd":
+                saved = None
+            elif eng == "pcg":
+                saved = _pcg_patch()
+            else:
+                saved = _iid_patch(sd * 7919 + 1)
+            try:
+                mean_p, _, _ = R.render(sd, size, size, spp, tris, tm,
+                                        mats, cam_origin=origin)
+            finally:
+                if saved:
+                    for k, v in saved.items():
+                        setattr(R, k, v)
+            report(f"{eng} seed={sd}", mean_p)
+            print(f"    ({time.time() - t0:.0f}s)", flush=True)
+
+    import tracer_tpu as T
+    for sd in seeds[:3]:
+        s = T.init(sd, size, size, 0, tris, tm, mats, cam_origin=origin)
+        mean_j = np.asarray(T.sample_n_frames(s, spp))
+        report(f"tracer seed={sd}", mean_j)
+
+
+# ---------------------------------------------------------------------------
 # halves: split the NEE MIS halves across both estimators
 
 
@@ -830,7 +949,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["terms", "rr", "probe", "depth",
                                     "reuse", "surgery", "chdecor",
-                                    "rrsim", "halves", "engine"])
+                                    "rrsim", "halves", "engine",
+                                    "verdict"])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--kinds", default=None)
@@ -854,6 +974,8 @@ if __name__ == "__main__":
         cmd_halves(size=a.size or 32, spp=a.spp or 384)
     elif a.cmd == "engine":
         cmd_engine(size=a.size or 32, spp=a.spp or 384)
+    elif a.cmd == "verdict":
+        cmd_verdict(size=a.size or 32, spp=a.spp or 256)
     else:
         kw = {}
         if a.size:

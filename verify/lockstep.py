@@ -323,7 +323,56 @@ def lockstep_frame(seed, nonce, w, h, tris_obj, tm, mats_rows,
     return dict(wl=wl, ch=ch, dist=dist, rad=rad)
 
 
-def render_energy(seed, size, spp, tris, tm, mats_rows, origin):
+def use_iid_engine(rng_seed):
+    """Swap the tracer-PCG engine for TRUE iid numpy PCG64 draws while
+    keeping the tracer draw discipline bit-for-bit. Arbiter experiment:
+    if lockstep+iid still shows the +5% G, the DISCIPLINE (a draw
+    mapped to two uses, or a semantic misreading) is guilty; if it
+    vanishes, the tracer's counter-PCG stream structure is."""
+    g = np.random.default_rng(rng_seed)
+    gm = globals()
+
+    def next_u32(st):
+        return st, np.asarray(g.integers(0, 1 << 32, size=st.shape), U64)
+
+    def next_unit(st):
+        return st, (g.random(st.shape) * 0.9999).astype(F)
+
+    def next_uniform(st, lo, hi):
+        return st, (F(lo) + g.random(st.shape).astype(F) * F(hi - lo))
+
+    def select(st, n):
+        return st, np.asarray(g.integers(0, n, size=st.shape), np.int64)
+
+    def make_streams(seed, frame, lane_ids):
+        return np.ones(lane_ids.shape, U64)
+
+    for f in (next_u32, next_unit, next_uniform, select, make_streams):
+        gm[f.__name__] = f
+
+
+def use_ctr_engine():
+    """Counter-based engine prototype (the candidate ops/rng.py fix):
+    state = key | (ctr << 32); draw k of lane key mixes (key, ctr) with
+    two pcg_hash rounds. No shared orbit: two distinct keys can never
+    merge tails (the current engine's single 2^32 LCG cycle gives ~3k
+    merged lane pairs / 0.6% duplicated draws per 256-spp render)."""
+    gm = globals()
+    GAMMA = U64(0x9E3779B9)
+
+    def next_u32(st):
+        st = st + (U64(1) << U64(32))
+        key = st & M32
+        ctr = st >> U64(32)
+        x = key ^ ((ctr * GAMMA) & M32)
+        return st, hash_u32(hash_u32(x))
+
+    def make_streams(seed, frame, lane_ids):
+        base = hash_u32(U64(seed) ^ hash_u32(U64(frame)))
+        return hash_u32(lane_ids.astype(U64) ^ base)  # key, ctr = 0
+
+    gm["next_u32"] = next_u32
+    gm["make_streams"] = make_streams
     """Full lockstep-estimator render -> per-channel mean image energy
     (the tracer's estimator semantics executed in numpy on the oracle's
     formulas)."""
@@ -349,24 +398,39 @@ def main():
     ap.add_argument("--render", action="store_true",
                     help="full-render energy A/B vs the minstd golden "
                          "and a fresh tracer render (--frames = spp)")
+    ap.add_argument("--engine", default="pcg", choices=("pcg", "iid",
+                                                        "ctr"),
+                    help="iid = numpy PCG64 arbiter; ctr = counter-"
+                         "based candidate fix (render mode)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-tracer", action="store_true",
+                    help="skip the jax tracer render in --render mode")
     a = ap.parse_args()
+
+    if a.engine == "iid":
+        use_iid_engine(a.seed * 104729 + 7)
+    elif a.engine == "ctr":
+        use_ctr_engine()
 
     if a.render:
         from tracer_tpu.utils.objloader import load_obj
         tris, tm, mats_rows = load_obj(
             os.path.join(ASSETS, a.scene + ".obj"))
         origin = (0.0, 0.8, 0.9)
-        e_lock = render_energy(0, a.size, a.frames, tris, tm, mats_rows,
-                               origin)
+        e_lock = render_energy(a.seed, a.size, a.frames, tris, tm,
+                               mats_rows, origin)
         g = np.load(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "tests", "goldens",
             "ref_numpy_mirrorbox32.npz"))
         e_gold = g["mean"].mean(axis=(0, 1))
-        import tracer_tpu as T
-        s = T.init(0, a.size, a.size, 0, tris, tm, mats_rows,
-                   cam_origin=origin)
-        e_jax = np.asarray(T.sample_n_frames(s, a.frames)).mean(
-            axis=(0, 1))
+        if a.no_tracer:
+            e_jax = np.full(3, np.nan)
+        else:
+            import tracer_tpu as T
+            s = T.init(a.seed, a.size, a.size, 0, tris, tm, mats_rows,
+                       cam_origin=origin)
+            e_jax = np.asarray(T.sample_n_frames(s, a.frames)).mean(
+                axis=(0, 1))
         for cix, name in enumerate("RGB"):
             print(f"  {name}: minstd-golden {e_gold[cix]:.5f}  "
                   f"lockstep {e_lock[cix]:.5f} "
