@@ -11,6 +11,12 @@ subprocess, emitting one JSON line per config (and BENCH_ALL.json).
                     dispersion, prism caustics)
   5 orbit           SpectrumSphereHigh interactive orbit: per-frame
                     LBVH rebuild + progressive loop
+  6 bigscene        SpectrumSphereHigh subdivided x2 (~139k tris)
+                    512x512 16 spp — the HBM-streaming superchunk path
+                    end-to-end
+  7 interactive     the reference viewer loop at its default operating
+                    point: 800x600 CornellBox conf 0, step -> render ->
+                    ARGB host fetch per frame (liblys.c:18-19, :104-123)
 
 Usage: python benchmarks/run_all.py [--configs 1,2,3] [--quick]
 """
@@ -40,11 +46,54 @@ from benchmarks._timing import (SANITY_CEILING_MRAYS, fresh_nonce,
 cfg = {cfg!r}
 assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
 tris, tm, mats = load_obj(os.path.join(assets, cfg["scene"] + ".obj"))
-s = T.init(0, cfg["size"], cfg["size"], cfg.get("conf", 0), tris, tm, mats,
-           cam_origin=tuple(cfg.get("origin", (0.0, 0.8, 1.8))))
-w, h = s.sub_dims
+if cfg.get("subdiv"):
+    # big-scene config: midpoint-subdivide the largest shipped asset
+    # (8,716 -> ~139k tris at 2 levels) to exercise the HBM-streaming
+    # superchunk path end-to-end (docs/PERF.md big-scene lever)
+    from tracer_tpu.utils import testscenes
+    tris, tm = testscenes.subdivide(tris, tm, levels=cfg["subdiv"])
+if not cfg.get("interactive"):
+    s = T.init(0, cfg["size"], cfg["size"], cfg.get("conf", 0), tris, tm,
+               mats, cam_origin=tuple(cfg.get("origin", (0.0, 0.8, 1.8))))
+    w, h = s.sub_dims
 
-if cfg.get("orbit"):
+if cfg.get("interactive"):
+    # The reference's flagship product: the realtime viewer loop at its
+    # default operating point — step -> render -> ARGB framebuffer
+    # download per frame (demo-interactive/liblys.c:104-123, 800x600
+    # default liblys.c:18-19, progressive 1 spp/frame). The per-frame
+    # np.asarray of the i32 ARGB buffer IS the host download (the one
+    # device->host transfer per frame the reference makes); through the
+    # axon relay that fetch carries tunnel latency a local PCIe fetch
+    # would not, so the measured tunnel roundtrip is reported alongside.
+    import jax
+    s = T.init(0, cfg["size_h"], cfg["size_w"], cfg.get("conf", 0),
+               tris, tm, mats,
+               cam_origin=tuple(cfg.get("origin", (0.0, 0.8, 1.8))))
+    s = s.replace(nonce=s.nonce + fresh_nonce())
+    s = T.step(s)                       # compile step (untimed)
+    fb = np.asarray(T.render(s))        # compile render + first fetch
+    rt = roundtrip_s()
+    frames = cfg["frames"]
+    t0 = time.perf_counter()
+    for k in range(frames):
+        s = T.step(s)
+        fb = np.asarray(T.render(s))    # per-frame ARGB download
+    dt = max(time.perf_counter() - t0, 1e-9)
+    if not (fb != 0).any():
+        print("interactive framebuffer black; refusing", file=sys.stderr)
+        sys.exit(2)
+    # frames must advance (progressive accumulation changes the image)
+    fb2 = np.asarray(T.render(T.step(s)))
+    if np.array_equal(fb, fb2):
+        print("interactive loop not advancing; refusing", file=sys.stderr)
+        sys.exit(2)
+    out = dict(metric="interactive_fps", value=round(frames / dt, 2),
+               unit="frames/s", config=cfg["name"],
+               tunnel_roundtrip_ms=round(rt * 1000, 1),
+               fps_minus_tunnel=round(frames / max(dt - frames * rt, 1e-9),
+                                      2))
+elif cfg.get("orbit"):
     import jax, jax.numpy as jnp
     from tracer_tpu.ops import intersect
     # interactive orbit: per-frame acceleration-structure rebuild +
@@ -162,17 +211,23 @@ CONFIGS = {
     4: dict(name="spectrum", scene="SpectrumSphere", size=512, spp=64),
     5: dict(name="orbit", scene="SpectrumSphereHigh", size=1024,
             orbit=True, frames=32),
+    6: dict(name="bigscene", scene="SpectrumSphereHigh", size=512,
+            spp=16, subdiv=2, reps=2),
+    7: dict(name="interactive", scene="CornellBox-Original",
+            size_w=800, size_h=600, interactive=True, frames=64),
 }
 
 QUICK_OVERRIDES = {1: {}, 2: dict(spp=32), 3: dict(size=256, spp=16),
-                   4: dict(size=256, spp=16), 5: dict(size=256, frames=4)}
+                   4: dict(size=256, spp=16), 5: dict(size=256, frames=4),
+                   6: dict(size=256, spp=4, reps=1),
+                   7: dict(size_w=320, size_h=240, frames=8)}
 
 
 def main():
     ap = argparse.ArgumentParser()
     # all five BASELINE configs by default so orbit can't silently go
     # stale in BENCH_ALL.json (r2 VERDICT weak #4)
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()

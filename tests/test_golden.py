@@ -48,8 +48,9 @@ def test_cornell_golden_statistics():
     s = state_with("dense")
     img = np.asarray(T.sample_n_frames(s, 48))
     mean_rgb = img.mean(axis=(0, 1))
-    # golden values recorded 2026-08-16 (CPU, seed 0)
-    expect = np.array([0.511, 0.340, 0.261])
+    # golden values recorded 2026-08-21 (CPU, seed 0, threefry
+    # channel/wavelength draws + matched path-head jitter reuse)
+    expect = np.array([0.49800, 0.39271, 0.23576])
     np.testing.assert_allclose(mean_rgb, expect, rtol=0.02)
     assert 0.5 < img.max() < 80.0
     # spatial structure: ceiling (light) row brighter than floor rows

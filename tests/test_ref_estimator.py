@@ -48,6 +48,17 @@ An estimator bug moves these by far more: a wrong MIS weight or a lost
 emission term shifts whole-pixel populations by multiples of their SE
 (median/frac blow past the bands) and the clipped per-channel energy
 by >5%.
+
+Null-calibration caveat (round-4 postmortem, docs/PARITY.md "mirrorbox
+investigation"): a SINGLE control probe can badly underestimate the
+clipped-energy null — the committed mirrorbox control realized dG
+0.196% while the measured same-estimator family sd is ~0.9% (G) and
+2.5-3% (R/B) at this size/spp. The per-scene absolute floors (0.02 /
+0.04) are therefore the effective bound on specular scenes; they sit
+at ~4 sigma of the measured family null. The round-3 red mirrorbox
+(+5.29% G) was a REAL defect this test caught correctly: the chained
+channel-select draw was correlated with downstream path draws
+(fixed via ops/rng.py salted_pair; post-fix seed-0 dG = -1.2%).
 """
 
 import os

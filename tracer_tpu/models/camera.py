@@ -96,12 +96,29 @@ def turn_camera(cam: Camera, dpitch, dyaw) -> Camera:
     return cam._replace(pitch=pitch, yaw=yaw)
 
 
+# Salt for the out-of-band channel/wavelength draws (ops/rng.py
+# salted_pair: the chained channel select is measurably correlated
+# with the path draws that follow it, biasing channel-conditioned
+# energy — the round-4 mirrorbox +5% G root cause; see docs/PARITY.md
+# "mirrorbox investigation").
+_SALT_WAVELENGTH = 0x3C6EF372
+
+
 def sample_wavelength(state, conf: CameraConfig):
     """Pick channel uniformly, sample its wavelength by probit
-    (camera.fut:68-79). Per-lane. Returns (state, wavelen, channel)."""
+    (camera.fut:68-79). Per-lane. Returns (state, wavelen, channel).
+
+    The channel and probit draws come from one threefry block over the
+    PRE-advance state (decorrelated from the downstream path draws);
+    the main stream still advances twice, so every other draw in the
+    sample keeps its position."""
     n_channels = conf.sensor_mu.shape[0]
-    state, channel = prng.select(state, n_channels)
-    state, p = prng.next_unit(state)
+    b0, b1 = prng.salted_pair(state, _SALT_WAVELENGTH)
+    state, _ = prng.next_u32(state)
+    state, _ = prng.next_u32(state)
+    channel = (b0 % jnp.uint32(n_channels)).astype(jnp.int32)
+    p = (b1 >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        prng.UNIT_SCALE / (1 << 24))
     # channel -> (mu, sigma) via a static select chain (C <= 3), no gather
     mu = jnp.full(channel.shape, conf.sensor_mu[0], jnp.float32)
     sigma = jnp.full(channel.shape, conf.sensor_sigma[0], jnp.float32)
@@ -119,10 +136,18 @@ def sample_ray(state, cam: Camera, wh, jx, iy):
     wh: (w, h) python/scalar pair; jx/iy: (N,) pixel coords with
     j = column, i already flipped as (h - i - 1) by the caller.
     Returns (state, origin (3,N), dir (3,N)).
+
+    The returned state is the INCOMING state, un-advanced: the
+    reference's sample_camera_ray discards its rng (`let (_rng, ...)`,
+    camera.fut:86, :102) and sample_pixel hands the same pre-jitter rng
+    to path_trace (integrator.fut:86-101), so the path's first draws
+    re-read the jitter outputs. Matching this closes the last
+    documented rng-stream deviation (docs/PARITY.md thin-lens row).
     """
     conf = cam.conf
     w_f, h_f = wh
     ratio = w_f / h_f
+    state0 = state
     state, (ox, oy) = prng.in_unit_square(state)
     x = (jx + ox * conf.offset_radius) / w_f
     y = (iy + oy * conf.offset_radius) / h_f
@@ -154,7 +179,7 @@ def sample_ray(state, cam: Camera, wh, jx, iy):
     lens_offset = (lens_radius * lx) * u + (lens_radius * ly) * v
     origin = origin0 + lens_offset
     target = lower_left + x * horizontal + y * vertical
-    return state, origin, la.v3_normalize(target - origin)
+    return state0, origin, la.v3_normalize(target - origin)
 
 
 def gen_transmitter_sectors(cam: Camera, transmitter_kind: str, ray_dir):

@@ -107,3 +107,66 @@ def select(state, n):
     state, bits = next_u32(state)
     idx = (bits % jnp.asarray(n, jnp.uint32)).astype(jnp.int32)
     return state, idx
+
+
+# --- salted out-of-band draws -------------------------------------------
+#
+# The sequential chain (one LCG step + one RXS-M-XS round per draw) has
+# measurable correlation between an output and the outputs that follow
+# it on the same lane. For most draws that is harmless, but a draw that
+# CONDITIONS the estimator — the hero-wavelength channel select, which
+# partitions all downstream path energy by channel — turns that
+# correlation into a channel-conditioned bias: conditioned on the
+# channel value, the path draws that follow are slightly non-uniform.
+# Measured on MirrorBox 32x32x256spp vs the independent numpy oracle
+# (verify/lockstep.py, round-4 bisection): green-channel energy biased
+# +1.8..+5.5% across seeds (all positive) with the chained channel
+# draw; swapping ONLY the channel/wavelength draws to an independent
+# source (all other draws bit-identical) collapsed the worst seed from
+# +5.22% to +0.19%. Salted double-round hashes of the pre-advance state
+# reproduce that collapse (+0.20%) with no out-of-band randomness.
+#
+# Contract: `salted_*` draws are pure functions of (state, salt) — they
+# do NOT advance the chain; callers advance the main stream separately
+# to keep every other draw's position unchanged.
+
+_THREEFRY_ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+_THREEFRY_PARITY = 0x1BD11BDA
+
+
+def _rotl(x, r):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def threefry2x32(key0, key1, x0, x1):
+    """Standard Threefry-2x32 (20 rounds; Salmon et al. 2011, the same
+    core as jax.random's default PRNG) over uint32 lanes. Cheap simple
+    mixers (1-4 rounds of LCG+RXS-M-XS, murmur3 finalizers) all left
+    measurable residual correlation with the sequential chain on the
+    score-labels comparator; 20-round threefry is independent to
+    cryptographic strength. ~40 integer VPU ops — used once per camera
+    sample, not per draw."""
+    k0 = jnp.uint32(key0)
+    k1 = jnp.uint32(key1)
+    k2 = k0 ^ k1 ^ jnp.uint32(_THREEFRY_PARITY)
+    ks = (k0, k1, k2)
+    x0 = jnp.asarray(x0, jnp.uint32) + k0
+    x1 = jnp.asarray(x1, jnp.uint32) + k1
+    for i in range(5):
+        for r in _THREEFRY_ROT[i % 2]:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
+def salted_pair(state, salt):
+    """Two u32 draws decorrelated from the sequential chain: one
+    threefry2x32 block keyed by the salt over the pre-advance state.
+    Pure function of (state, salt) — does NOT advance the chain; the
+    caller advances the main stream separately so every other draw
+    keeps its position."""
+    return threefry2x32(salt, 0x9E3779B9,
+                        jnp.asarray(state, jnp.uint32), 0x85EBCA6B)

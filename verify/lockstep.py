@@ -105,9 +105,51 @@ def in_triangle(st):
 # ---------------------------------------------------------------------------
 # models/camera.py sample_wavelength + sample_ray (tracer discipline)
 
+_TF_ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+
+def threefry2x32(key0, key1, x0, x1):
+    """numpy mirror of ops/rng.py threefry2x32 (validated bit-exact
+    against jax._src.prng.threefry_2x32)."""
+    k0, k1 = U64(key0) & M32, U64(key1) & M32
+    k2 = k0 ^ k1 ^ U64(0x1BD11BDA)
+    ks = (k0, k1, k2)
+    x0 = (np.asarray(x0, U64) + k0) & M32
+    x1 = (np.asarray(x1, U64) + k1) & M32
+    for i in range(5):
+        for r in _TF_ROT[i % 2]:
+            x0 = (x0 + x1) & M32
+            x1 = ((x1 << U64(r)) | (x1 >> U64(32 - r))) & M32
+            x1 = x1 ^ x0
+        x0 = (x0 + ks[(i + 1) % 3]) & M32
+        x1 = (x1 + ks[(i + 2) % 3] + U64(i + 1)) & M32
+    return x0, x1
+
+
+_SALT_WAVELENGTH = U64(0x3C6EF372)
+
+
 def sample_wavelength(st):
-    st, ch = select(st, 3)
-    st, p = next_unit(st)
+    """Mirror of the FIXED production models/camera.py: channel/probit
+    from one threefry block over the pre-advance state; chain advances
+    twice."""
+    st0 = st
+    b0, b1 = threefry2x32(_SALT_WAVELENGTH, 0x9E3779B9, st0, 0x85EBCA6B)
+    st, _ = next_u32(st)
+    st, _ = next_u32(st)
+    ch = (b0 % U64(3)).astype(np.int64)
+    p = (b1 >> U64(8)).astype(F) * F(0.9999 / (1 << 24))
+    if _CHDECOR["gen"] is not None:
+        g = _CHDECOR["gen"]
+        ch = np.asarray(g.integers(0, 3, size=ch.shape), np.int64)
+        p = (g.random(p.shape) * 0.9999).astype(F)
+    elif _SALT_MODE["on"]:
+        # salted double-round hashes of the PRE-advance state; main
+        # stream advance above is kept so all other draws are unchanged
+        ch = (hash_u32(hash_u32(st0 ^ _SALT_CH)) % U64(3)).astype(
+            np.int64)
+        bits = hash_u32(hash_u32(st0 ^ _SALT_WL))
+        p = (bits >> U64(8)).astype(F) * F(0.9999 / (1 << 24))
     # conf 0 sensor constants (lib.fut:20-28) in channel order 0,1,2
     mu = R.SENSOR_MU[ch]
     sigma = R.SENSOR_SIGMA[ch]
@@ -118,7 +160,10 @@ def sample_wavelength(st):
 def sample_ray(st, origin, w, h, jx, iy):
     """Tracer models/camera.py sample_ray at pitch = yaw = 0,
     aperture 0 (conf 0): one in_unit_square draw; lens derived from the
-    same draws (irrelevant at aperture 0)."""
+    same draws (irrelevant at aperture 0). Returns the INCOMING state
+    un-advanced (the reference's jitter-reuse quirk, camera.fut:86-102
+    -> integrator.fut:86-101, matched by production since round 4)."""
+    st0 = st
     st, (ox, oy) = in_unit_square(st)
     x = ((jx + ox) / F(w)).astype(F)
     y = ((iy + oy) / F(h)).astype(F)
@@ -132,7 +177,7 @@ def sample_ray(st, origin, w, h, jx, iy):
     target = (lower_left + x[:, None] * (2 * half_w * u)
               + y[:, None] * (2 * half_h * v))
     d = target - origin
-    return st, np.broadcast_to(origin, d.shape).astype(F), R.normalise(d)
+    return st0, np.broadcast_to(origin, d.shape).astype(F), R.normalise(d)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +396,45 @@ def use_iid_engine(rng_seed):
         gm[f.__name__] = f
 
 
-def use_ctr_engine():
+_CHDECOR = {"gen": None}
+
+
+def use_chdecor(rng_seed):
+    """Channel/wavelength drawn from an independent iid source; the
+    main stream still advances twice so every OTHER draw is identical
+    to the production engine. Isolates channel<->path correlation
+    through the tracer's hash chain (the first stream output feeds
+    select(st, 3))."""
+    _CHDECOR["gen"] = np.random.default_rng(rng_seed)
+
+
+def use_deep_streams():
+    """make_streams with one extra pcg_hash round (candidate fix: the
+    production chain is hash(pix ^ hash(seed ^ hash(frame))) — the
+    channel select is bits%3 of the FIRST output of a 1-round-hashed
+    structured key)."""
+    gm = globals()
+
+    def make_streams(seed, frame, lane_ids):
+        base = hash_u32(U64(seed) ^ hash_u32(U64(frame)))
+        return hash_u32(hash_u32(lane_ids.astype(U64) ^ base))
+
+    gm["make_streams"] = make_streams
+
+
+_SALT_MODE = {"on": False}
+_SALT_CH = U64(0x3C6EF372)
+_SALT_WL = U64(0xDAA66D2B)
+
+
+def use_salted_wavelength():
+    """The candidate PRODUCTION fix, exactly as ops/rng.py would do it:
+    channel and wavelength-p come from salted DOUBLE-round hashes of
+    the pre-advance state (not from the sequential chain); the main
+    stream still advances twice so every other draw is unchanged. If
+    this matches chdecor's collapse, the correlation is broken to
+    2-round-hash quality with zero iid dependence."""
+    _SALT_MODE["on"] = True
     """Counter-based engine prototype (the candidate ops/rng.py fix):
     state = key | (ctr << 32); draw k of lane key mixes (key, ctr) with
     two pcg_hash rounds. No shared orbit: two distinct keys can never
@@ -373,6 +456,9 @@ def use_ctr_engine():
 
     gm["next_u32"] = next_u32
     gm["make_streams"] = make_streams
+
+
+def render_energy(seed, size, spp, tris, tm, mats_rows, origin):
     """Full lockstep-estimator render -> per-channel mean image energy
     (the tracer's estimator semantics executed in numpy on the oracle's
     formulas)."""
@@ -388,6 +474,151 @@ def use_ctr_engine():
     return sums / (spp * n)
 
 
+def capture_tri(seed, size, spp, tris, tm, mats_rows, origin, out):
+    """Per-lane path radiance under each FORCED channel hypothesis.
+
+    For every frame the chain consumes draws exactly as production
+    (ch/p positions included), but the frame is evaluated 3x with
+    channel forced to c (wavelength = mu_c + sigma_c * probit(p), same
+    p). The result lets ANY channel labeling L be scored exactly:
+      G_energy(L) = 3 * sum_{lanes: L=G} rad_1(lane) / (n * spp)
+    — a zero-extra-noise comparator for label-mixer candidates."""
+    n = size * size
+    rad3 = np.zeros((spp, 3, n), np.float32)
+    p_all = np.zeros((spp, n), np.float32)
+    ch_all = np.zeros((spp, n), np.int8)
+    st0_all = np.zeros((spp, n), np.uint64)
+    trs = R.Tris(tris, tm)
+    mats = R.Mats(mats_rows)
+    lights = R.Lights(tris, tm, mats)
+    lane = np.arange(n, dtype=np.uint32)
+    jx = (lane % size).astype(F)
+    iy = (F(size) - (lane // size).astype(F) - F(1.0))
+    originv = np.asarray(origin, F)
+    for f in range(spp):
+        st_init = make_streams(seed, f, lane)
+        st0_all[f] = st_init
+        st, ch = select(st_init, 3)
+        st, p = next_unit(st)
+        p_all[f] = p
+        ch_all[f] = ch
+        st_post, o, d = sample_ray(st, originv, size, size, jx, iy)
+        for c in range(3):
+            wl = (R.SENSOR_MU[c]
+                  + R.SENSOR_SIGMA[c]
+                  * R.probit(np.maximum(p, F(1e-12)))).astype(F)
+            Lf = _trace_from(st_post, o, d, wl, trs, mats, lights)
+            rad3[f, c] = Lf
+    np.savez_compressed(out, rad3=rad3, p=p_all, ch=ch_all,
+                        st0=st0_all, spp=spp, n=n)
+    print(f"captured tri-channel radiance -> {out}")
+
+
+def _trace_from(st, o, d, wl, trs, mats, lights):
+    """Path trace continuing from the given stream state (the part of
+    lockstep_frame after camera sampling); returns per-lane radiance
+    path sum."""
+    n = o.shape[0]
+    alive = np.ones(n, bool)
+    tot = np.zeros(n, F)
+    fmax = F(np.finfo(np.float32).max)
+    o = o.copy()
+    d = d.copy()
+    for bounce in range(R.PATH_LEN):
+        if not alive.any():
+            break
+        hit, t, pos, normal, mix = R.closest_hit(o, d, fmax, trs)
+        hit = alive & hit
+        m = R.MatAtWavelen(mats, mix, wl)
+        wo = -d
+        st, direct = ts_direct_radiance(st, wo, pos, normal, m, wl,
+                                        lights, trs)
+        emis = R.spectrum_lookup(wl, mats.emission[mix])
+        radiance = np.where(hit,
+                            direct + np.where(bounce == 0, emis, F(0)),
+                            F(0))
+        tot = tot + radiance
+        st, wi, bsdf, pdf_val, kind = ts_sample_dir(st, wo, normal, m)
+        pdf = np.where(kind == PDF_DELTA, F(1),
+                       np.where(kind == PDF_NONZERO, pdf_val,
+                                F(0))).astype(F)
+        cosf = np.abs(R.dot(normal, wi))
+        with np.errstate(invalid="ignore", divide="ignore",
+                         over="ignore"):
+            p_term = (1 - bsdf * cosf / pdf).astype(F)
+        st, u = next_unit(st)
+        terminate = u < p_term
+        alive = hit & (pdf != 0) & ~terminate
+        o2, d2 = R.mkray_adjust_acne(pos, normal, wi)
+        o = np.where(alive[:, None], o2, o)
+        d = np.where(alive[:, None], d2, d)
+    return tot
+
+
+def score_labels(capture_path, golden_path):
+    """Score channel-label mixers on captured tri-channel radiance."""
+    d = np.load(capture_path)
+    rad3, st0 = d["rad3"], d["st0"]
+    spp, n = int(d["spp"]), int(d["n"])
+    g = np.load(golden_path)
+    e_gold = g["mean"].mean(axis=(0, 1))  # RGB image-space means
+
+    def energy(labels):
+        # labels: (spp, n) int in 0..2 (sensor-channel index:
+        # 0=blue, 1=green, 2=red; SENSOR_COLOR maps to image RGB)
+        out = np.zeros(3, np.float64)
+        for c in range(3):
+            sel = labels == c
+            e = float(rad3[:, c][sel].sum()) * 3.0 / (spp * n)
+            out += e * R.SENSOR_COLOR[c]
+        return out  # image RGB means
+
+    def show(name, labels):
+        e = energy(labels)
+        rel = (e - e_gold) / e_gold * 100
+        print(f"  {name:14s} dR {rel[0]:+6.2f}%  dG {rel[1]:+6.2f}%  "
+              f"dB {rel[2]:+6.2f}%")
+
+    U = np.uint64
+
+    def mix_rounds(x, k):
+        y = np.asarray(x, U)
+        for _ in range(k):
+            y = hash_u32(y)
+        return y
+
+    def murmur(x):
+        h = np.asarray(x, U) & M32
+        h ^= h >> U(16)
+        h = (h * U(0x85EBCA6B)) & M32
+        h ^= h >> U(13)
+        h = (h * U(0xC2B2AE35)) & M32
+        h ^= h >> U(16)
+        return h
+
+    print("chain label (production):")
+    show("chain", d["ch"].astype(np.int64))
+    for k in (1, 2, 3, 4):
+        show(f"hashx{k}",
+             (mix_rounds(st0 ^ U(0x3C6EF372), k) % U(3)).astype(np.int64))
+    show("murmur", (murmur(st0 ^ U(0x3C6EF372)) % U(3)).astype(np.int64))
+    show("murmur2", (murmur(murmur(st0 ^ U(0x3C6EF372)))
+                     % U(3)).astype(np.int64))
+    show("hash+murmur", (murmur(hash_u32(st0 ^ U(0x3C6EF372)))
+                         % U(3)).astype(np.int64))
+    rng = np.random.default_rng(99)
+    vals = []
+    for r in range(20):
+        lab = np.asarray(rng.integers(0, 3, size=st0.shape), np.int64)
+        e = energy(lab)
+        vals.append((e - e_gold) / e_gold * 100)
+    vals = np.array(vals)
+    print(f"  iid null (20): dG mean {vals[:, 1].mean():+.2f}% "
+          f"sd {vals[:, 1].std():.2f}%  dR {vals[:, 0].mean():+.2f}"
+          f"/{vals[:, 0].std():.2f}  dB {vals[:, 2].mean():+.2f}"
+          f"/{vals[:, 2].std():.2f}")
+
+
 def main():
     import argparse
 
@@ -398,19 +629,45 @@ def main():
     ap.add_argument("--render", action="store_true",
                     help="full-render energy A/B vs the minstd golden "
                          "and a fresh tracer render (--frames = spp)")
-    ap.add_argument("--engine", default="pcg", choices=("pcg", "iid",
-                                                        "ctr"),
+    ap.add_argument("--engine", default="pcg",
+                    choices=("pcg", "iid", "ctr", "chdecor", "deep",
+                             "salt"),
                     help="iid = numpy PCG64 arbiter; ctr = counter-"
-                         "based candidate fix (render mode)")
+                         "based candidate; chdecor = channel/"
+                         "wavelength from an independent iid source; "
+                         "deep = extra make_streams hash round")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-tracer", action="store_true",
                     help="skip the jax tracer render in --render mode")
+    ap.add_argument("--capture-tri", metavar="OUT",
+                    help="capture per-lane tri-channel radiance to OUT")
+    ap.add_argument("--score-labels", metavar="NPZ",
+                    help="score channel-label mixers on a capture")
     a = ap.parse_args()
+
+    if a.score_labels:
+        score_labels(a.score_labels, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), os.pardir,
+            "tests", "goldens", "ref_numpy_mirrorbox32.npz"))
+        return
+    if a.capture_tri:
+        from tracer_tpu.utils.objloader import load_obj
+        tris, tm, mats_rows = load_obj(
+            os.path.join(ASSETS, a.scene + ".obj"))
+        capture_tri(a.seed, a.size, a.frames, tris, tm, mats_rows,
+                    (0.0, 0.8, 0.9), a.capture_tri)
+        return
 
     if a.engine == "iid":
         use_iid_engine(a.seed * 104729 + 7)
     elif a.engine == "ctr":
         use_ctr_engine()
+    elif a.engine == "chdecor":
+        use_chdecor(a.seed * 2654435761 + 13)
+    elif a.engine == "deep":
+        use_deep_streams()
+    elif a.engine == "salt":
+        use_salted_wavelength()
 
     if a.render:
         from tracer_tpu.utils.objloader import load_obj
