@@ -103,13 +103,15 @@ def _arm_deadline():
 
 
 def _peak_tflops():
-    """Per-chip bf16 MXU peak for the device jax selected; None when the
-    platform has no meaningful published peak (CPU runs)."""
+    """(peak bf16 TFLOP/s, device_kind) for the device jax selected; peak
+    is None when the platform has no published peak in the table (CPU
+    runs, unknown TPU generations) — mfu_pct is then omitted rather than
+    silently computed against a guessed chip."""
     import jax
 
     d = jax.devices()[0]
     if d.platform != "tpu":
-        return None
+        return None, d.device_kind
     kind = d.device_kind.lower()
     # bf16 dense peaks, TFLOP/s per chip (public spec sheets)
     table = {"v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
@@ -117,8 +119,8 @@ def _peak_tflops():
              "v6e": 918.0}
     for key, val in table.items():
         if key in kind:
-            return val
-    return 197.0  # default to the driver's v5e
+            return val, d.device_kind
+    return None, d.device_kind
 
 
 def _flops_of(chunk, *args):
@@ -179,6 +181,7 @@ def main():
 
     samples = []
     times = []
+    rays = []
     for _ in range(passes):
         nonce0 = fresh_nonce()
         t0 = time.perf_counter()
@@ -188,19 +191,22 @@ def main():
         mrays = total_rays / max(dt - roundtrip, 1e-9) / 1e6
         samples.append(mrays)
         times.append(max(dt - roundtrip, 1e-9))
+        rays.append(total_rays)
 
     order = np.argsort(samples)
     mid = order[len(order) // 2]
     mrays = samples[mid]  # median over passes
     flops_source = "xla-cost-analysis"
     per_ray = _analytic_hw_flops_per_ray(s.scene)
-    if per_ray and (not flops or flops < out[0] * per_ray / 10):
+    if per_ray and (not flops or flops < rays[mid] * per_ray / 10):
         # Pallas custom call hides the MXU work from cost analysis;
-        # use the analytic kernel model (docs/PERF.md "MFU accounting")
-        flops = float(out[0]) * per_ray
+        # use the analytic kernel model (docs/PERF.md "MFU accounting").
+        # The median pass's OWN ray count pairs with its own wall time
+        # (fresh nonces shift Russian-roulette terminations per pass).
+        flops = rays[mid] * per_ray
         flops_source = "analytic-mxu-model"
     achieved_tflops = (flops / times[mid] / 1e12) if flops else None
-    peak = _peak_tflops()
+    peak, device_kind = _peak_tflops()
     mfu_pct = (100.0 * achieved_tflops / peak
                if achieved_tflops and peak else None)
     if not np.isfinite(mrays) or mrays <= 0 or mrays > SANITY_CEILING_MRAYS:
@@ -217,6 +223,8 @@ def main():
         "achieved_tflops": (round(achieved_tflops, 3)
                             if achieved_tflops else None),
         "mfu_pct": round(mfu_pct, 2) if mfu_pct else None,
+        "peak_tflops": peak,
+        "device_kind": device_kind,
         "flops_source": flops_source if achieved_tflops else None,
     }))
 

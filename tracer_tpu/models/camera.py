@@ -11,12 +11,12 @@ jitter and the lens disk (camera.fut:86-102): random_in_unit_square and
 random_in_unit_disk start from the same state, so theta is the jitter-x
 draw mapped to [0, 2pi) and the disk radius^2 IS the jitter-y draw.
 sample_ray reproduces that correlation exactly by deriving the lens
-sample from the same (ox, oy) pair (no extra draws). Remaining
-documented deviation: the reference also hands the SAME pre-camera rng
-on to path_trace (integrator.fut:86-101), so its first path decision
-repeats the jitter draw; our path continues from the post-jitter
-stream — statistically inert (the repeated draw only correlates the
-measure-zero pairing of jitter with the first NEE light pick).
+sample from the same (ox, oy) pair (no extra draws). The reference also
+hands the SAME pre-camera rng on to path_trace (integrator.fut:86-101),
+so its first path decision repeats the jitter draws; sample_ray matches
+that too by returning its INCOMING state un-advanced, so the path
+re-reads the jitter draws exactly as the reference does (PARITY.md:
+FULLY MATCHED).
 """
 
 from __future__ import annotations

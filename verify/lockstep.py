@@ -435,6 +435,9 @@ def use_salted_wavelength():
     this matches chdecor's collapse, the correlation is broken to
     2-round-hash quality with zero iid dependence."""
     _SALT_MODE["on"] = True
+
+
+def use_ctr_engine():
     """Counter-based engine prototype (the candidate ops/rng.py fix):
     state = key | (ctr << 32); draw k of lane key mixes (key, ctr) with
     two pcg_hash rounds. No shared orbit: two distinct keys can never
