@@ -34,8 +34,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from benchmarks._timing import (SANITY_CEILING_MRAYS, fresh_nonce,
-                                reps_chunk, roundtrip_s)
+from benchmarks._timing import (SANITY_CEILING_MRAYS,
+                                analytic_hw_flops_per_ray, fresh_nonce,
+                                peak_tflops, reps_chunk, roundtrip_s)
 
 
 def _enable_compile_cache():
@@ -102,27 +103,6 @@ def _arm_deadline():
         "stalled mid-compile/run?); refusing to hang", rc=4)
 
 
-def _peak_tflops():
-    """(peak bf16 TFLOP/s, device_kind) for the device jax selected; peak
-    is None when the platform has no published peak in the table (CPU
-    runs, unknown TPU generations) — mfu_pct is then omitted rather than
-    silently computed against a guessed chip."""
-    import jax
-
-    d = jax.devices()[0]
-    if d.platform != "tpu":
-        return None, d.device_kind
-    kind = d.device_kind.lower()
-    # bf16 dense peaks, TFLOP/s per chip (public spec sheets)
-    table = {"v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
-             "v5p": 459.0, "v4": 275.0, "v6 lite": 918.0,
-             "v6e": 918.0}
-    for key, val in table.items():
-        if key in kind:
-            return val, d.device_kind
-    return None, d.device_kind
-
-
 def _flops_of(chunk, *args):
     """Total XLA-counted FLOPs of one timed executable (all reps), via
     compiled cost analysis (utils/profiling.compiled_stats pattern);
@@ -137,23 +117,6 @@ def _flops_of(chunk, *args):
         return f if f > 0 else None
     except Exception:
         return None
-
-
-def _analytic_hw_flops_per_ray(scene):
-    """Hardware MXU flops per trace query per lane: the K-packed score
-    matmul (4 coefficient rows x K_packed contraction x 2 flops/MAC)
-    against every padded triangle. bf16x3 packing triples (x6 sextuples)
-    the hardware MACs of the logical K=10 product — that emulation cost
-    is real MXU work and counts toward bf16-peak MFU. Upper-bound model:
-    assumes no chunk culls (exact for single-chunk scenes like
-    CornellBox-128pad); the in-kernel cull only lowers true MXU work."""
-    from tracer_tpu.ops import intersect
-    from tracer_tpu.ops.pallas.intersect_kernel import _mxu_splits
-    if not isinstance(scene.accel, intersect.DenseTris):
-        return None
-    t_pad = int(scene.accel.coeffs.shape[1])
-    k_packed = 10 * _mxu_splits(t_pad)
-    return t_pad * 4 * k_packed * 2
 
 
 def main():
@@ -197,7 +160,7 @@ def main():
     mid = order[len(order) // 2]
     mrays = samples[mid]  # median over passes
     flops_source = "xla-cost-analysis"
-    per_ray = _analytic_hw_flops_per_ray(s.scene)
+    per_ray, _n_chunks = analytic_hw_flops_per_ray(s.scene)
     if per_ray and (not flops or flops < rays[mid] * per_ray / 10):
         # Pallas custom call hides the MXU work from cost analysis;
         # use the analytic kernel model (docs/PERF.md "MFU accounting").
@@ -206,7 +169,7 @@ def main():
         flops = rays[mid] * per_ray
         flops_source = "analytic-mxu-model"
     achieved_tflops = (flops / times[mid] / 1e12) if flops else None
-    peak, device_kind = _peak_tflops()
+    peak, device_kind = peak_tflops()
     mfu_pct = (100.0 * achieved_tflops / peak
                if achieved_tflops and peak else None)
     if not np.isfinite(mrays) or mrays <= 0 or mrays > SANITY_CEILING_MRAYS:

@@ -62,6 +62,75 @@ def reps_chunk(state, spp: int, reps: int):
     return chunk
 
 
+def peak_tflops():
+    """(peak bf16 TFLOP/s, device_kind) for the device jax selected; peak
+    is None when the platform has no published peak in the table (CPU
+    runs, unknown TPU generations) — callers omit mfu_pct rather than
+    compute it against a guessed chip."""
+    import jax
+
+    d = jax.devices()[0]
+    if d.platform != "tpu":
+        return None, d.device_kind
+    kind = d.device_kind.lower()
+    # bf16 dense peaks, TFLOP/s per chip (public spec sheets)
+    table = {"v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
+             "v5p": 459.0, "v4": 275.0, "v6 lite": 918.0,
+             "v6e": 918.0}
+    for key, val in table.items():
+        if key in kind:
+            return val, d.device_kind
+    return None, d.device_kind
+
+
+def analytic_hw_flops_per_ray(scene):
+    """Hardware MXU flops per trace query per lane: the K-packed score
+    matmul (4 coefficient rows x K_packed contraction x 2 flops/MAC)
+    against every padded triangle. bf16x3 packing triples (x6 sextuples)
+    the hardware MACs of the logical K=10 product — that emulation cost
+    is real MXU work and counts toward bf16-peak MFU. Upper-bound model:
+    assumes no chunk culls (exact for single-chunk scenes like
+    CornellBox-128pad; see docs/PERF.md "MFU accounting"). Returns
+    (flops_per_ray, n_chunks) — callers treat n_chunks > 1 as the
+    cull-possible regime where the model is an upper bound."""
+    from tracer_tpu.ops import intersect
+    from tracer_tpu.ops.pallas.intersect_kernel import _mxu_splits
+    if not isinstance(scene.accel, intersect.DenseTris):
+        return None, 0
+    t_pad = int(scene.accel.coeffs.shape[1])
+    n_chunks = int(scene.accel.chunk_bounds.shape[0])
+    k_packed = 10 * _mxu_splits(t_pad)
+    return t_pad * 4 * k_packed * 2, n_chunks
+
+
+def mfu_fields(scene, total_rays: float, dt_s: float,
+               cull_exempt: bool = False) -> dict:
+    """The achieved_tflops/mfu_pct/flops_source fields every BENCH entry
+    carries (round-4 VERDICT weak #5). On multi-chunk scenes the no-cull
+    model over-counts deleted MXU work, so mfu_pct is only reported
+    where the model is (near-)exact: single-chunk scenes, or callers
+    passing cull_exempt=True for configs where the measured schedule
+    visits every chunk anyway (config 4, per the walk-simulator result
+    in docs/PERF.md). Elsewhere achieved_tflops is reported as an upper
+    bound with an explicit flops_source tag and no mfu_pct."""
+    per_ray, n_chunks = analytic_hw_flops_per_ray(scene)
+    if not per_ray or dt_s <= 0:
+        return {}
+    tflops = total_rays * per_ray / dt_s / 1e12
+    peak, kind = peak_tflops()
+    exact = n_chunks <= 1 or cull_exempt
+    out = dict(achieved_tflops=round(tflops, 3),
+               flops_source=("analytic-mxu-model" if exact else
+                             "analytic-mxu-model-nocull-upper-bound"),
+               device_kind=kind)
+    if peak and exact:
+        out["mfu_pct"] = round(100.0 * tflops / peak, 2)
+    elif not exact:
+        out["mfu_note"] = ("cull-dominated config: no-cull model is an "
+                           "upper bound; mfu_pct omitted")
+    return out
+
+
 def roundtrip_s() -> float:
     """Measured host<->device dispatch+fetch latency of a trivial op,
     subtracted from timed regions (~30ms through the axon tunnel)."""

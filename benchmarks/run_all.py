@@ -41,7 +41,20 @@ import tracer_tpu as T
 from tracer_tpu.utils.objloader import load_obj
 from tracer_tpu.ops import bvh as bvh_mod
 from benchmarks._timing import (SANITY_CEILING_MRAYS, fresh_nonce,
-                                reps_chunk, roundtrip_s)
+                                mfu_fields, reps_chunk, roundtrip_s)
+
+
+def _rays_per_frame_est(s, w, h):
+    # One untimed 1-spp pooled render -> rays/frame estimate for the
+    # fps-metric configs (orbit, interactive), whose timed loops don't
+    # thread the ray counter out. Ray counts vary ~1% with the nonce
+    # (Russian-roulette), hence "-est" in flops_source.
+    import jax
+    from tracer_tpu.engine import integrator
+    probe = jax.jit(lambda nonce: integrator.render_pooled(
+        s.seed, nonce, s.scene, s.cam, s.ambience, w, h,
+        s.transmitter_kind, 1, s.render_mode)["rays_traced"])
+    return float(np.asarray(probe(fresh_nonce())))
 
 cfg = {cfg!r}
 assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
@@ -74,6 +87,23 @@ if cfg.get("interactive"):
     s = T.step(s)                       # compile step (untimed)
     fb = np.asarray(T.render(s))        # compile render + first fetch
     rt = roundtrip_s()
+    # The per-frame cost a local deployment would NOT pay is the
+    # FRAMEBUFFER download through the axon tunnel: the (h, w) u32 ARGB
+    # buffer is ~2MB, and fetching it costs far more than the scalar
+    # roundtrip (profile_frame.py measured ~170ms/frame of the config-7
+    # loop being this transfer; locally it is a sub-ms PCIe copy the
+    # reference also makes, liblys.c:104-123). Measure it directly:
+    # time host fetches of distinct already-resident fb-sized buffers.
+    import jax
+    bufs = [jax.device_put(np.random.randint(
+        0, 2 ** 31, size=fb.shape).astype(np.uint32)) for _ in range(3)]
+    for b in bufs:
+        b.block_until_ready()
+    fetch_s = float("inf")
+    for b in bufs:
+        t = time.perf_counter()
+        np.asarray(b)
+        fetch_s = min(fetch_s, time.perf_counter() - t)
     frames = cfg["frames"]
     t0 = time.perf_counter()
     for k in range(frames):
@@ -91,8 +121,15 @@ if cfg.get("interactive"):
     out = dict(metric="interactive_fps", value=round(frames / dt, 2),
                unit="frames/s", config=cfg["name"],
                tunnel_roundtrip_ms=round(rt * 1000, 1),
-               fps_minus_tunnel=round(frames / max(dt - frames * rt, 1e-9),
-                                      2))
+               tunnel_fb_fetch_ms=round(fetch_s * 1000, 1),
+               fps_minus_tunnel=round(
+                   frames / max(dt - frames * fetch_s, 1e-9), 2))
+    w, h = s.sub_dims
+    rays_f = _rays_per_frame_est(s, w, h)
+    mf = mfu_fields(s.scene, rays_f * frames, max(dt - frames * rt, 1e-9))
+    if mf.get("flops_source"):
+        mf["flops_source"] += "-est"
+    out.update(mf, rays_per_frame_est=rays_f)
 elif cfg.get("orbit"):
     import jax, jax.numpy as jnp
     from tracer_tpu.ops import intersect
@@ -176,6 +213,11 @@ elif cfg.get("orbit"):
     out = dict(metric="orbit_fps", value=round(frames / dt, 3),
                unit="frames/s", config=cfg["name"],
                lbvh_build_ms=round(lbvh_ms, 1))
+    rays_f = _rays_per_frame_est(s, w, h)
+    mf = mfu_fields(s.scene, rays_f * frames, dt)
+    if mf.get("flops_source"):
+        mf["flops_source"] += "-est"
+    out.update(mf, rays_per_frame_est=rays_f)
 else:
     spp = cfg["spp"]
     reps = cfg.get("reps", 3)
@@ -198,6 +240,11 @@ else:
                unit="Mrays/s", config=cfg["name"],
                spp=spp, img_mean=round(imean, 4),
                samples_per_sec=round(reps * w * h * spp / dt / 1e6, 2))
+    # config 4 (spectrum): the walk simulator showed every chunk is
+    # visited by every tile on this scene (docs/PERF.md), so the
+    # no-cull model is exact there too
+    out.update(mfu_fields(s.scene, total_rays, dt,
+                          cull_exempt=cfg["name"] == "spectrum"))
 print("BENCH_RESULT " + json.dumps(out))
 """
 

@@ -339,3 +339,40 @@ def test_approx_recip_error_band(rng_np, monkeypatch):
     big = same & (np.asarray(t_x) > 0.1)
     rel = np.abs(np.asarray(bt)[big] - np.asarray(t_x)[big]) / np.asarray(t_x)[big]
     assert rel.max() > 2.0 ** -11, rel.max()
+
+
+def test_perm_rays_matches_unpermuted(rng_np, monkeypatch):
+    """TRACER_PERM_RAYS (boundary-only coherence sort at the closest
+    query) must return identical hits in the ORIGINAL lane order for
+    every key mode — the sort is a pure reordering around the kernel
+    (exact-t cross-chunk ties may pick a different winner id; t must
+    match exactly)."""
+    tris = jnp.asarray(rng_np.uniform(-2, 2, (300, 3, 3)).astype(np.float32))
+    dense = intersect.build_dense(tris)
+    n = 257
+    o = jnp.asarray(rng_np.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_np.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ov, dv = la.v3_from_array(o), la.v3_from_array(d)
+    phi = intersect.ray_features_t(ov, dv)
+
+    class _PK:  # route the kernel through interpret mode on CPU
+        @staticmethod
+        def closest_hit_pallas(coeffs, p, tmax, bounds):
+            return pk.closest_hit_pallas(coeffs, p, tmax, bounds,
+                                         interpret=True)
+
+    bt0, bi0 = pk.closest_hit_pallas(dense.coeffs, phi, 1e30,
+                                     dense.chunk_bounds, interpret=True)
+    # per-lane tmax must ride the sort too
+    tmaxes = jnp.where(jnp.isfinite(bt0), bt0 * 1.5, 2.0)
+    btm0, _ = pk.closest_hit_pallas(dense.coeffs, phi, tmaxes,
+                                    dense.chunk_bounds, interpret=True)
+    for mode in ("oct", "dmorton", "odmorton"):
+        monkeypatch.setenv("TRACER_PERM_RAYS", mode)
+        bt, bi = intersect._permuted_closest(dense, 1e30, phi, _PK)
+        np.testing.assert_array_equal(np.asarray(bt), np.asarray(bt0))
+        agree = np.asarray(bi) == np.asarray(bi0)
+        assert agree.mean() > 0.99, mode  # exact-t ties only
+        btm, _ = intersect._permuted_closest(dense, tmaxes, phi, _PK)
+        np.testing.assert_array_equal(np.asarray(btm), np.asarray(btm0))

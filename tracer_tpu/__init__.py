@@ -24,7 +24,7 @@ Layer map (mirrors SURVEY.md section 1, re-architected for TPU):
 __version__ = "0.1.0"
 
 _API = ("init", "step", "render", "key", "resize",
-        "sample_points_n", "sample_n_frames")
+        "sample_points_n", "sample_n_frames", "step_render")
 
 
 def __getattr__(name):

@@ -123,6 +123,31 @@ def render(s: EngineState):
 
 
 # ---------------------------------------------------------------------------
+# step_render — fused step + ARGB pack, one dispatch per frame
+
+@partial(jax.jit, static_argnames=("knobs",))
+def _step_render_core(s: EngineState, knobs=()):
+    s = _step_core(s, knobs=knobs)
+    return s, _render_core(s.img, s.width, s.height, s.subsampling)
+
+
+def step_render(s: EngineState):
+    """step() + render() fused into ONE executable: returns
+    (new_state, (h, w) uint32 ARGB framebuffer).
+
+    The interactive loop (liblys.c:104-123) calls step then render every
+    frame; through a remote device each dispatch carries tunnel latency,
+    and even locally the separate render launch is pure overhead. Fusing
+    them preserves both entry points' exact semantics while making the
+    per-frame device traffic one dispatch + one framebuffer fetch — the
+    reference's one-transfer-per-frame discipline (SURVEY.md 2.4)."""
+    if s.img.shape[:2] != (s.sub_dims[1], s.sub_dims[0]):
+        s = s.replace(img=jnp.zeros(
+            (s.sub_dims[1], s.sub_dims[0], 3), jnp.float32))
+    return _step_render_core(s, knobs=integrator.knob_key())
+
+
+# ---------------------------------------------------------------------------
 # resize (lib.fut:108-109)
 
 def resize(h: int, w: int, s: EngineState) -> EngineState:

@@ -243,7 +243,7 @@ TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_STEAL_D",
                "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
                "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
                "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
-               "TRACER_NO_PALLAS")
+               "TRACER_NO_PALLAS", "TRACER_PERM_RAYS")
 
 
 def knob_key() -> tuple:
@@ -326,11 +326,30 @@ def _rotation_stride(n: int) -> int:
 #     halving P).
 # For scenes on the Pallas intersector (>= ~1k triangles) the iteration
 # cost is query-dominated, so aim for ITEMS_TARGET items/lane; for small
-# scenes keep the pool as big as possible. POOL_TARGET caps HBM pressure
-# either way.
+# scenes aim for ITEMS_SMALL items/lane (bounce-tail amortization, see
+# below) but never drop below POOL_MIN_SMALL (per-iteration floor).
+# POOL_TARGET caps HBM pressure either way.
+#
+# ITEMS_SMALL: a lane's last item still runs its full path tail (up to
+# PATH_LEN bounces) at whatever pool width the loop has — with m items
+# per lane the tail is amortized over m items' useful work. The old
+# policy maxed the pool on small scenes, which at frame-sized 1-spp
+# work (the interactive viewer, 800x600) gave m_items = 2: the loop
+# spent ~30 of its 19 + tail iterations nearly empty. Measured on TPU
+# (benchmarks/profile_frame.py, 800x600 CornellBox 1 spp):
+#   pool 240000 (m=2, old default)  48.9 ms/frame   51 Mrays/s
+#   pool 120000 (m=4)               28.8            87
+#   pool  60000 (m=8)               17.4           145
+#   pool  30000 (m=16)              13.1           192   <- new policy
+#   pool  16000 (m=30)              14.0           180   (floor shows)
+# Configs whose n*spp/ITEMS_SMALL exceeds POOL_TARGET (the headline
+# 512^2 x 256spp, mirrorbox 64spp) keep pool = min(n, POOL_TARGET) and
+# the Q-periodic-rotation path exactly as before.
 POOL_TARGET = 262144
 POOL_MIN = 8192
 ITEMS_TARGET = 256
+ITEMS_SMALL = 16
+POOL_MIN_SMALL = 16384
 _SMALL_SCENE_TRIS = 512
 
 
@@ -345,7 +364,8 @@ def _pool_size(n: int, spp: int, t_pad: int) -> int:
     if env:
         target = int(env)
     elif t_pad <= _SMALL_SCENE_TRIS:
-        target = POOL_TARGET
+        target = max(POOL_MIN_SMALL,
+                     min(POOL_TARGET, (n * spp) // ITEMS_SMALL))
     else:
         target = max(POOL_MIN, min(POOL_TARGET, (n * spp) // ITEMS_TARGET))
     if n <= target:

@@ -259,6 +259,97 @@ def _use_pallas(t_pad: int) -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Boundary-only ray permutation (round-3 VERDICT "Next #2a", measured
+# round 5). The pooled loop's bounce rays are direction-incoherent, so
+# every 2048-lane tile reaches every chunk and the per-tile near-to-far
+# schedule + slab culls stop culling (docs/PERF.md "walk" result). At
+# the CLOSEST query boundary only, lanes can be reordered by a
+# direction/origin coherence key so tiles become coherent: the sort is
+# a multi-operand lax.sort that co-moves the 10 phi rows (no gathers),
+# the kernel runs on the sorted order, and only (best_t, best_i) sort
+# back by the saved iota. Lane state NEVER moves — this is not the
+# full-state binning-by-sort that measured a 5x loss. Keys mirror
+# benchmarks/schedule_stats.py `perm` (the CPU predictor):
+#   oct       3-bit direction octant
+#   dmorton   30-bit morton of the quantized direction
+#   odmorton  15-bit origin morton (scene-bounds quantized) over
+#             15-bit direction morton
+# Results are exact regardless of order: a chunk holding a lane's true
+# closest hit always passes that lane's slab test, and the winner is
+# re-verified per lane by _reintersect (cross-chunk EXACT-t ties may
+# resolve differently; the estimator never depends on tie identity).
+
+def _perm_mode() -> str:
+    """TRACER_PERM_RAYS: '' (off) | oct | dmorton | odmorton — read per
+    call like the other trace knobs (in integrator.TRACE_KNOBS)."""
+    return os.environ.get("TRACER_PERM_RAYS", "")
+
+
+def _spread3(v, bits: int):
+    r = jnp.zeros_like(v)
+    for i in range(bits):
+        r = r | (((v >> i) & 1) << (3 * i))
+    return r
+
+
+def _quant_i(v, lo, hi, bits: int):
+    scale = jnp.float32((1 << bits)) / jnp.maximum(hi - lo, 1e-30)
+    q = ((v - lo) * scale).astype(jnp.int32)
+    return jnp.clip(q, 0, (1 << bits) - 1)
+
+
+def _perm_key(phi_t, chunk_bounds):
+    """Coherence sort key from the ray features (phi = [d, o, oxd, 1])."""
+    mode = _perm_mode()
+    d0, o0 = phi_t[0:3], phi_t[3:6]
+    if mode == "oct":
+        return ((d0[0] >= 0).astype(jnp.int32) * 4
+                + (d0[1] >= 0).astype(jnp.int32) * 2
+                + (d0[2] >= 0).astype(jnp.int32))
+    if mode == "dmorton":
+        b = 10
+        return ((_spread3(_quant_i(d0[0], -1.0, 1.0, b), b) << 2)
+                | (_spread3(_quant_i(d0[1], -1.0, 1.0, b), b) << 1)
+                | _spread3(_quant_i(d0[2], -1.0, 1.0, b), b))
+    # odmorton: origin-major (scene-bounds normalized), direction minor
+    finite = chunk_bounds[:, 0] <= chunk_bounds[:, 3]
+    lo = jnp.min(jnp.where(finite[:, None], chunk_bounds[:, 0:3],
+                           jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(finite[:, None], chunk_bounds[:, 3:6],
+                           -jnp.inf), axis=0)
+    b = 5
+    om = ((_spread3(_quant_i(o0[0], lo[0], hi[0], b), b) << 2)
+          | (_spread3(_quant_i(o0[1], lo[1], hi[1], b), b) << 1)
+          | _spread3(_quant_i(o0[2], lo[2], hi[2], b), b))
+    dm = ((_spread3(_quant_i(d0[0], -1.0, 1.0, b), b) << 2)
+          | (_spread3(_quant_i(d0[1], -1.0, 1.0, b), b) << 1)
+          | _spread3(_quant_i(d0[2], -1.0, 1.0, b), b))
+    return (om << 15) | dm
+
+
+def _permuted_closest(dense: DenseTris, tmax, phi_t, pk):
+    """Run the Pallas closest kernel on coherence-sorted lanes; returns
+    (best_t, best_i) in the ORIGINAL lane order."""
+    n = phi_t.shape[1]
+    key = _perm_key(phi_t, dense.chunk_bounds)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    tmax = jnp.asarray(tmax, jnp.float32)
+    ops = (key, iota) + tuple(phi_t[i] for i in range(phi_t.shape[0]))
+    t_sorted = tmax
+    if tmax.ndim:  # per-lane tmax must ride the sort too
+        ops = ops + (tmax,)
+    s = jax.lax.sort(ops, num_keys=1)
+    iota_s = s[1]
+    phi_s = jnp.stack(s[2:2 + phi_t.shape[0]], axis=0)
+    if tmax.ndim:
+        t_sorted = s[2 + phi_t.shape[0]]
+    bt, bi = pk.closest_hit_pallas(dense.coeffs, phi_s, t_sorted,
+                                   dense.chunk_bounds)
+    back = jax.lax.sort((iota_s, bt, bi), num_keys=1)
+    return back[1], back[2]
+
+
 def closest_hit(dense: DenseTris, tmax, origin, d,
                 chunk: int = DEFAULT_CHUNK):
     """Closest-hit query: rays as V3 (3,N)+(3,N) vs all triangles.
@@ -270,9 +361,12 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
     phi_t = ray_features_t(origin, d)
     if _use_pallas(dense.coeffs.shape[1]):
         from tracer_tpu.ops.pallas import intersect_kernel as pk
-        best_t, best_i = pk.closest_hit_pallas(
-            dense.coeffs, phi_t, jnp.asarray(tmax, jnp.float32),
-            dense.chunk_bounds)
+        if _perm_mode():
+            best_t, best_i = _permuted_closest(dense, tmax, phi_t, pk)
+        else:
+            best_t, best_i = pk.closest_hit_pallas(
+                dense.coeffs, phi_t, jnp.asarray(tmax, jnp.float32),
+                dense.chunk_bounds)
         ok = jnp.isfinite(best_t)
         best_i = jnp.where(ok, best_i, 0)
         # tmax slack so a true winner isn't rejected by the exact
