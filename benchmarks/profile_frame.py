@@ -52,7 +52,7 @@ from tracer_tpu.engine.api import _render_core
 from tracer_tpu.utils.objloader import load_obj
 from benchmarks._timing import fresh_nonce, roundtrip_s
 
-SCENE = "CornellBox-Original"
+DEFAULT_SCENE = "CornellBox-Original"
 
 
 def time_pooled(s, w, h, frames, rt, pool_target=None):
@@ -98,18 +98,24 @@ def time_pooled(s, w, h, frames, rt, pool_target=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dims", nargs="*", type=int, default=[800, 600])
+    ap.add_argument("--scene", default=DEFAULT_SCENE,
+                    help="asset OBJ name (e.g. SpectrumSphereHigh for "
+                         "the orbit operating point)")
     ap.add_argument("--pools", default="0,480000,120000,60000,30000,16000",
                     help="TRACER_POOL_TARGET sweep (0 = policy default)")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--loop-frames", type=int, default=16)
+    ap.add_argument("--no-loop", action="store_true",
+                    help="pool sweep + argb only (skip the viewer-loop "
+                         "dispatch modes)")
     args = ap.parse_args()
     w, h = (args.dims + [800, 600])[:2]
 
     assets = os.environ.get("TRACER_ASSETS", "/root/reference/assets")
-    tris, tm, mats = load_obj(os.path.join(assets, SCENE + ".obj"))
+    tris, tm, mats = load_obj(os.path.join(assets, args.scene + ".obj"))
     s = T.init(0, h, w, 0, tris, tm, mats, cam_origin=(0.0, 0.8, 1.8))
     rt = roundtrip_s()
-    print(f"scene={SCENE} {w}x{h} backend={jax.default_backend()} "
+    print(f"scene={args.scene} {w}x{h} backend={jax.default_backend()} "
           f"roundtrip={rt * 1000:.1f}ms")
 
     # ---- pooled step at each pool target -------------------------------
@@ -140,6 +146,8 @@ def main():
     np.asarray(argbs(jnp.float32(2e-7)))
     t_argb = max(time.perf_counter() - t0 - rt, 1e-9) / args.frames
     print(f"{'argb pack':>12} {'':>8} {t_argb * 1e3:>9.2f}")
+    if args.no_loop:
+        return
 
     # ---- viewer-loop modes over real dispatches ------------------------
     LF = args.loop_frames

@@ -62,6 +62,11 @@ def capture(args):
     from tracer_tpu.ops import intersect
 
     tris, tm, mats = _load_scene(args.scene)
+    if args.subdiv:
+        # the bigscene config's scene (run_all config 6): midpoint-
+        # subdivide the largest shipped asset to the streaming regime
+        from tracer_tpu.utils import testscenes
+        tris, tm = testscenes.subdivide(tris, tm, levels=args.subdiv)
     origin = tuple(float(x) for x in args.origin.split(","))
     s = T.init(0, args.size, args.size, 0, tris, tm, mats,
                cam_origin=origin)
@@ -245,7 +250,14 @@ def walk(args):
       mean  — per-tile mean entry among reachable lanes, ascending
     Reports visited-(chunk, tile) counts and MXU element-work per
     policy; an ordering that tightens best_t sooner visits fewer chunks
-    with ZERO kernel changes (the order table is built XLA-side)."""
+    with ZERO kernel changes (the order table is built XLA-side).
+
+    --permute additionally sorts every population by a coherence key
+    (the `perm` subcommand's keys) BEFORE tiling: this measures what
+    the reachability-only `perm` model cannot — whether coherent tiles
+    let the best-t early-out cull far chunks behind near hits (e.g. a
+    tile of rays all facing the sphere: the near-surface visit
+    tightens every lane's bound at once)."""
     import jax.numpy as jnp
 
     data = np.load(args.pop, allow_pickle=False)
@@ -253,9 +265,20 @@ def walk(args):
     n_pops = int(data["n"])
     kinds = data["kinds"]
     cl = [i for i in range(n_pops) if kinds[i] == "closest"][::args.every]
+    keyfn = _PERM_KEYS[args.permute]
     print(f"walk sim on {len(cl)} closest populations; policies: "
-          f"{', '.join(WALK_POLICIES)}")
+          f"{', '.join(WALK_POLICIES)}; permute={args.permute}")
     print("computing exact per-block min hit t...")
+    if keyfn is not _PERM_KEYS["prod"]:
+        # permute the stored populations in place (block min-t and the
+        # walk below both read the permuted order)
+        data = dict(data)
+        for i in cl:
+            pi = np.argsort(keyfn(data[f"o{i}"], data[f"d{i}"]),
+                            kind="stable")
+            data[f"o{i}"] = data[f"o{i}"][:, pi]
+            data[f"d{i}"] = data[f"d{i}"][:, pi]
+            data[f"t{i}"] = data[f"t{i}"][pi]
     min_t = _block_min_t(data, cl, tris)
 
     combos = [tuple(int(x) for x in c.split("/"))
@@ -317,8 +340,57 @@ def walk(args):
         base = stats["near"][1]
         for pol in WALK_POLICIES:
             v, el = stats[pol]
-            print(f"c{chunk_t}/t{tile_n:>5} {pol:>6} {v / 1e3:>10.1f} "
-                  f"{el / 1e9:>10.2f} {el / max(base, 1):>8.2f}")
+            print(f"c{chunk_t}/t{tile_n:>5} {pol:>6} {v / 1e3:>10.3f} "
+                  f"{el / 1e9:>10.4f} {el / max(base, 1):>8.2f}")
+
+
+def _key_none(o, d):
+    return None
+
+
+def _key_oct(o, d):
+    # 3-bit direction octant (stable sort keeps locality within)
+    return ((d[0] >= 0).astype(np.int64) * 4
+            + (d[1] >= 0).astype(np.int64) * 2
+            + (d[2] >= 0).astype(np.int64))
+
+
+def _pmorton(x, y, z, bits=10):
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
+        return v
+    return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) \
+        | spread(z)
+
+
+def _pquant(v, lo, hi, bits=10):
+    q = np.clip((v - lo) / max(hi - lo, 1e-9), 0.0, 0.999999)
+    return (q * (1 << bits)).astype(np.uint64)
+
+
+def _key_dmorton(o, d):
+    return _pmorton(_pquant(d[0], -1, 1), _pquant(d[1], -1, 1),
+                    _pquant(d[2], -1, 1))
+
+
+def _key_odmorton(o, d):
+    lo = o.min(axis=1, keepdims=True)
+    hi = o.max(axis=1, keepdims=True)
+    om = _pmorton(
+        _pquant(o[0], lo[0, 0], hi[0, 0], 5),
+        _pquant(o[1], lo[1, 0], hi[1, 0], 5),
+        _pquant(o[2], lo[2, 0], hi[2, 0], 5))
+    dm = _pmorton(_pquant(d[0], -1, 1, 5), _pquant(d[1], -1, 1, 5),
+                  _pquant(d[2], -1, 1, 5))
+    return (om.astype(np.int64) << 15) | dm.astype(np.int64)
+
+
+_PERM_KEYS = dict(prod=_key_none, octant=_key_oct, dmorton=_key_dmorton,
+                  odmorton=_key_odmorton)
 
 
 def perm(args):
@@ -340,48 +412,7 @@ def perm(args):
     tris = jnp.asarray(data["tris"])
     n_pops = int(data["n"])
     kinds = data["kinds"]
-
-    def key_none(o, d):
-        return None
-
-    def key_oct(o, d):
-        # 3-bit direction octant (stable sort keeps locality within)
-        return ((d[0] >= 0).astype(np.int64) * 4
-                + (d[1] >= 0).astype(np.int64) * 2
-                + (d[2] >= 0).astype(np.int64))
-
-    def _morton(x, y, z, bits=10):
-        def spread(v):
-            v = v.astype(np.uint64)
-            v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF)
-            v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F)
-            v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3)
-            v = (v | (v << np.uint64(2))) & np.uint64(0x09249249)
-            return v
-        return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) \
-            | spread(z)
-
-    def _quant(v, lo, hi, bits=10):
-        q = np.clip((v - lo) / max(hi - lo, 1e-9), 0.0, 0.999999)
-        return (q * (1 << bits)).astype(np.uint64)
-
-    def key_dmorton(o, d):
-        return _morton(_quant(d[0], -1, 1), _quant(d[1], -1, 1),
-                       _quant(d[2], -1, 1))
-
-    def key_odmorton(o, d):
-        lo = o.min(axis=1, keepdims=True)
-        hi = o.max(axis=1, keepdims=True)
-        om = _morton(
-            _quant(o[0], lo[0, 0], hi[0, 0], 5),
-            _quant(o[1], lo[1, 0], hi[1, 0], 5),
-            _quant(o[2], lo[2, 0], hi[2, 0], 5))
-        dm = _morton(_quant(d[0], -1, 1, 5), _quant(d[1], -1, 1, 5),
-                     _quant(d[2], -1, 1, 5))
-        return (om.astype(np.int64) << 15) | dm.astype(np.int64)
-
-    policies = dict(prod=key_none, octant=key_oct, dmorton=key_dmorton,
-                    odmorton=key_odmorton)
+    policies = _PERM_KEYS
 
     for kind_sel in ("closest", "anyhit"):
         sel = [i for i in range(n_pops)
@@ -483,7 +514,7 @@ def analyze(args):
 
     header = (f"{'combo':>16} {'g':>2} {'sched/tile':>10} "
               f"{'MXU Gelem':>10} {'visits(k)':>10} {'empty-vis%':>10} "
-              f"{'member-pass%':>12}")
+              f"{'member-pass%':>12} {'DMA GB':>8}")
 
     for kind_sel in ("closest", "anyhit"):
         print(f"\n== {kind_sel} queries "
@@ -565,11 +596,23 @@ def analyze(args):
             # scheduler, so it is 100% by construction
             mp = ("-" if g == 1 else
                   f"{100.0 * tot_passes / max(tot_members, 1):.1f}%")
+            # streaming regime: every surviving (chunk, tile) pass DMAs
+            # the chunk's packed coefficients through the VMEM scratch
+            # (intersect_kernel._closest_kernel_streamed) — per-pass
+            # bytes = 16 words x n_pack x 4 rows/tri... i.e. the
+            # scratch slot size. Only meaningful when the coefficients
+            # are HBM-resident.
+            t_pad = n_chunks * chunk_t
+            splits = pk._mxu_splits(t_pad)
+            chunk_bytes = 16 * len(pk._PACK_LEFT[splits]) * 4 * chunk_t * 2
+            streaming = pk._use_streaming(chunk_bytes * n_chunks)
+            dma = (f"{tot_passes * chunk_bytes / 1e9:>8.2f}" if streaming
+                   else f"{'-':>8}")
             print(f"{name:>16} {g:>2} "
                   f"{tot_sched / max(tot_tiles, 1):>10.1f} "
                   f"{mxu_elems / 1e9:>10.2f} {tot_passes / 1e3:>10.1f} "
                   f"{100.0 * tot_empty / max(tot_passes, 1):>9.1f}% "
-                  f"{mp:>12}")
+                  f"{mp:>12} {dma}")
 
 
 def main():
@@ -582,6 +625,9 @@ def main():
                         "(run_all config 3)")
     c.add_argument("--size", type=int, default=128)
     c.add_argument("--spp", type=int, default=4)
+    c.add_argument("--subdiv", type=int, default=0,
+                   help="midpoint-subdivision levels (2 = the bigscene "
+                        "config's 139k-tri scene)")
     c.add_argument("--out", default="/tmp/sched_pop.npz")
     a = sub.add_parser("analyze")
     a.add_argument("--pop", default="/tmp/sched_pop.npz")
@@ -590,6 +636,10 @@ def main():
     w.add_argument("--pop", default="/tmp/sched_pop.npz")
     w.add_argument("--every", type=int, default=4)
     w.add_argument("--combos", default="256/2048,128/512,64/256")
+    w.add_argument("--permute", default="prod",
+                   choices=sorted(_PERM_KEYS),
+                   help="coherence-sort the lanes before tiling (the "
+                        "perm subcommand's keys)")
     p = sub.add_parser("perm")
     p.add_argument("--pop", default="/tmp/sched_pop.npz")
     p.add_argument("--every", type=int, default=4)

@@ -89,6 +89,30 @@ COMBOS = [
                                  "TRACER_APPROX_RECIP": "1"}),
     ("pool131k+chunk512", {"TRACER_POOL_TARGET": "131072",
                            "TRACER_CHUNK_T": "512"}),
+    # boundary-only ray permutation at the closest query (round-3
+    # VERDICT "Next #2a"; intersect._permuted_closest): lanes sort by a
+    # coherence key around the kernel call only — lane state never
+    # moves. e2e because the sort cost rides the whole pooled loop.
+    ("perm_oct", {"TRACER_PERM_RAYS": "oct"}),
+    ("perm_dmorton", {"TRACER_PERM_RAYS": "dmorton"}),
+    ("perm_odmorton", {"TRACER_PERM_RAYS": "odmorton"}),
+    # coherent/incoherent sub-batch split (round-3 VERDICT "Next #2b"):
+    # two complementary tmax-masked closest calls per bounce, primaries
+    # vs bounce rays, each optionally at its own tile size
+    ("split", {"TRACER_SPLIT_PRIMARY": "1"}),
+    ("split2048_512", {"TRACER_SPLIT_PRIMARY": "2048,512"}),
+    ("split2048_256", {"TRACER_SPLIT_PRIMARY": "2048,256"}),
+    # sorted tiles only pay at FINE granularity (best-t walk sim:
+    # odmorton cuts closest element-work 1.4% at c256/t2048 but 46% at
+    # c64/t256); these crosses test whether that reverses the measured
+    # e2e loss of fine tiles (8x per-tile fixed work)
+    ("perm_odm+c64t256", {"TRACER_PERM_RAYS": "odmorton",
+                          "TRACER_CHUNK_T": "64",
+                          "TRACER_TILE_N": "256"}),
+    ("c64t256", {"TRACER_CHUNK_T": "64", "TRACER_TILE_N": "256"}),
+    ("perm_odm+c64t512", {"TRACER_PERM_RAYS": "odmorton",
+                          "TRACER_CHUNK_T": "64",
+                          "TRACER_TILE_N": "512"}),
     # ring work-stealing (e2e only — a pure schedule change): default is
     # STEAL_D=4; steal0 isolates its win, steal6 checks deeper reach,
     # and pool crosses test whether stealing moves the best pool UP

@@ -527,3 +527,24 @@ def test_lbvh_tpu_lane_guard(monkeypatch):
     ok, t, idx, pos, nrm = scene_mod.closest_hit(
         sc, 1e30, o[:, :128], d[:, :128])
     assert bool(jnp.any(ok))
+
+
+def test_split_primary_matches_default(monkeypatch):
+    """TRACER_SPLIT_PRIMARY (two complementary tmax-masked closest calls
+    — coherent primaries vs incoherent bounce rays) must reproduce the
+    single-call render: a tmax=0 lane can never hit, so the per-class
+    merge recovers exactly the unmasked query per lane."""
+    s = cornell_state(16, 16)
+    w, h = s.sub_dims
+
+    def render():
+        out = integrator.render_pooled(
+            s.seed, s.nonce, s.scene, s.cam, s.ambience, w, h,
+            s.transmitter_kind, 4, s.render_mode)
+        return np.asarray(out["img"])
+
+    base = render()
+    monkeypatch.setenv("TRACER_SPLIT_PRIMARY", "1")
+    np.testing.assert_allclose(render(), base, rtol=1e-4, atol=1e-6)
+    monkeypatch.setenv("TRACER_SPLIT_PRIMARY", "1024,256")
+    np.testing.assert_allclose(render(), base, rtol=1e-4, atol=1e-6)

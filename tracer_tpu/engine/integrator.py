@@ -243,7 +243,8 @@ TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_STEAL_D",
                "TRACER_APPROX_RECIP", "TRACER_MXU_PACK",
                "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
                "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
-               "TRACER_NO_PALLAS", "TRACER_PERM_RAYS")
+               "TRACER_NO_PALLAS", "TRACER_PERM_RAYS",
+               "TRACER_SPLIT_PRIMARY")
 
 
 def knob_key() -> tuple:
@@ -294,6 +295,39 @@ def _rot_q() -> int:
 # TRACER_STEAL_D = D (number of power-of-2 offsets; 0 disables and emits
 # the exact pre-stealing graph).
 STEAL_D_DEFAULT = 4
+
+
+def _split_primary():
+    """TRACER_SPLIT_PRIMARY: '' off; '1' = two-call coherent/incoherent
+    split at default tile size; 'TA,TB' = per-sub-batch tile sizes
+    (TA primaries, TB bounce rays; 0 = default)."""
+    v = os.environ.get("TRACER_SPLIT_PRIMARY", "")
+    if not v:
+        return None
+    if "," in v:
+        a, b = v.split(",")
+        return int(a), int(b)
+    return 0, 0
+
+
+class _tile_env:
+    """Trace-time TRACER_TILE_N override for one sub-batch query (tile
+    size is read from env during tracing; 0 leaves the default)."""
+
+    def __init__(self, tile_n: int):
+        self.tile_n = tile_n
+
+    def __enter__(self):
+        self.old = os.environ.get("TRACER_TILE_N")
+        if self.tile_n:
+            os.environ["TRACER_TILE_N"] = str(self.tile_n)
+
+    def __exit__(self, *exc):
+        if self.tile_n:
+            if self.old is None:
+                os.environ.pop("TRACER_TILE_N", None)
+            else:
+                os.environ["TRACER_TILE_N"] = self.old
 
 
 def _steal_offsets(pool: int) -> tuple[int, ...]:
@@ -711,8 +745,33 @@ def render_pooled(seed, nonce, scene: scene_mod.Scene, cam: cam_mod.Camera,
         trans_sectors = cam_mod.gen_transmitter_sectors(
             cam, transmitter_kind, c["pd"])
 
-        inter = scene_mod.closest_interaction(
-            scene, shapes.F32_HIGHEST, c["o"], c["d"], c["wavelen"])
+        split = _split_primary()
+        if split is None:
+            inter = scene_mod.closest_interaction(
+                scene, shapes.F32_HIGHEST, c["o"], c["d"], c["wavelen"])
+        else:
+            # round-3 VERDICT "Next #2b" (measured round 5): run the
+            # closest query as TWO complementary tmax-masked calls —
+            # coherent refill-fresh primaries vs incoherent bounce rays
+            # — each optionally at its own tile size. A tmax=0 lane
+            # fails every slab test, so each call's scheduler sees only
+            # its sub-batch live and schedules/culls for it alone. The
+            # price is a second full-width phi pack + schedule +
+            # epilogue per iteration.
+            tile_a, tile_b = split
+            prim = c["bounce"] == 0
+            big = shapes.F32_HIGHEST
+            with _tile_env(tile_a):
+                ia = scene_mod.closest_interaction(
+                    scene, jnp.where(prim, big, 0.0), c["o"], c["d"],
+                    c["wavelen"])
+            with _tile_env(tile_b):
+                ib = scene_mod.closest_interaction(
+                    scene, jnp.where(prim, 0.0, big), c["o"], c["d"],
+                    c["wavelen"])
+            inter = jax.tree.map(
+                lambda a, b: jnp.where(
+                    prim[None] if a.ndim == 2 else prim, a, b), ia, ib)
         hit = alive & inter.ok
         miss = alive & ~inter.ok
 
