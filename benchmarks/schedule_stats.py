@@ -494,6 +494,9 @@ def analyze(args):
     from tracer_tpu.ops import intersect
     from tracer_tpu.ops.pallas import intersect_kernel as pk
 
+    combos = (COMBOS if args.combos == "all" else
+              [tuple(int(x) for x in c.split("/"))
+               for c in args.combos.split(",")])
     data = np.load(args.pop, allow_pickle=False)
     tris = jnp.asarray(data["tris"])
     n_pops = int(data["n"])
@@ -522,7 +525,7 @@ def analyze(args):
         print(header)
         kind_idxs = [i for i in idxs if kinds[i] == kind_sel]
 
-        for chunk_t, tile_n in COMBOS:
+        for chunk_t, tile_n in combos:
             dense = _build_dense_at(tris, chunk_t)
             bounds = np.asarray(dense.chunk_bounds)
             n_chunks = bounds.shape[0]
@@ -632,6 +635,8 @@ def main():
     a = sub.add_parser("analyze")
     a.add_argument("--pop", default="/tmp/sched_pop.npz")
     a.add_argument("--every", type=int, default=2)
+    a.add_argument("--combos", default="all",
+                   help="chunk/tile list (e.g. 256/2048) or 'all'")
     w = sub.add_parser("walk")
     w.add_argument("--pop", default="/tmp/sched_pop.npz")
     w.add_argument("--every", type=int, default=4)

@@ -113,6 +113,11 @@ COMBOS = [
     ("perm_odm+c64t512", {"TRACER_PERM_RAYS": "odmorton",
                           "TRACER_CHUNK_T": "64",
                           "TRACER_TILE_N": "512"}),
+    # anyhit-side permutation (TRACER_PERM_ANY): dead-lane grouping +
+    # direction key for the ~90%-NEE-masked shadow queries
+    ("permany_odm", {"TRACER_PERM_ANY": "odmorton"}),
+    ("perm_both_odm", {"TRACER_PERM_RAYS": "odmorton",
+                       "TRACER_PERM_ANY": "odmorton"}),
     # ring work-stealing (e2e only — a pure schedule change): default is
     # STEAL_D=4; steal0 isolates its win, steal6 checks deeper reach,
     # and pool crosses test whether stealing moves the best pool UP
@@ -177,8 +182,8 @@ def main():
             if line:
                 import json
                 res = json.loads(line[len("BENCH_RESULT "):])
-                print(f"{name:16s}  {res['value']:8.2f} Mrays/s  "
-                      f"img_mean {res['img_mean']}", flush=True)
+                print(f"{name:16s}  {res['value']:8.2f} {res['unit']}  "
+                      f"img_mean {res.get('img_mean', '-')}", flush=True)
             else:
                 print(f"{name:16s}  ERROR  {proc.stderr[-200:]}", flush=True)
             continue

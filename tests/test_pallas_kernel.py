@@ -376,3 +376,36 @@ def test_perm_rays_matches_unpermuted(rng_np, monkeypatch):
         assert agree.mean() > 0.99, mode  # exact-t ties only
         btm, _ = intersect._permuted_closest(dense, tmaxes, phi, _PK)
         np.testing.assert_array_equal(np.asarray(btm), np.asarray(btm0))
+
+    class _PKA:  # anyhit through interpret mode
+        @staticmethod
+        def any_hit_pallas(coeffs, p, tmax, bounds):
+            return pk.any_hit_pallas(coeffs, p, tmax, bounds,
+                                     interpret=True)
+
+    # anyhit perm: ~half the lanes NEE-masked (tmax 0), like production
+    tm_any = jnp.where(jnp.arange(n) % 2 == 0, 4.0, 0.0)
+    h0 = pk.any_hit_pallas(dense.coeffs, phi, tm_any, dense.chunk_bounds,
+                           interpret=True)
+    for mode in ("oct", "dmorton", "odmorton"):
+        monkeypatch.setenv("TRACER_PERM_ANY", mode)
+        hp = intersect._permuted_any(dense, tm_any, phi, _PKA)
+        np.testing.assert_array_equal(np.asarray(hp), np.asarray(h0))
+
+
+def test_perm_auto_gating(monkeypatch):
+    """Unset knobs resolve by chunk count (measured thresholds in
+    intersect.py); '0'/'off' force off; a key name forces on."""
+    monkeypatch.delenv("TRACER_PERM_RAYS", raising=False)
+    monkeypatch.delenv("TRACER_PERM_ANY", raising=False)
+    assert intersect._perm_mode(1) == ""
+    assert intersect._perm_mode(9) == ""     # config-4 wash
+    assert intersect._perm_mode(35) == "odmorton"
+    assert intersect._perm_any_mode(1) == ""
+    assert intersect._perm_any_mode(9) == "odmorton"  # +18% at 9 chunks
+    monkeypatch.setenv("TRACER_PERM_RAYS", "off")
+    monkeypatch.setenv("TRACER_PERM_ANY", "0")
+    assert intersect._perm_mode(544) == ""
+    assert intersect._perm_any_mode(544) == ""
+    monkeypatch.setenv("TRACER_PERM_RAYS", "oct")
+    assert intersect._perm_mode(1) == "oct"

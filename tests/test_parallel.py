@@ -111,7 +111,7 @@ def test_knob_key_covers_trace_knobs(monkeypatch):
                  "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
                  "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
                  "TRACER_NO_PALLAS", "TRACER_PERM_RAYS",
-                 "TRACER_SPLIT_PRIMARY"):
+                 "TRACER_PERM_ANY", "TRACER_SPLIT_PRIMARY"):
         monkeypatch.setenv(knob, "__a__")
         k1 = par._knob_key()
         monkeypatch.setenv(knob, "__b__")

@@ -244,7 +244,7 @@ TRACE_KNOBS = ("TRACER_POOL_TARGET", "TRACER_ROT_Q", "TRACER_STEAL_D",
                "TRACER_COEFF_LAYOUT", "TRACER_STREAM_COEFFS",
                "TRACER_CHUNK_T", "TRACER_MXU_PRECISION",
                "TRACER_NO_PALLAS", "TRACER_PERM_RAYS",
-               "TRACER_SPLIT_PRIMARY")
+               "TRACER_PERM_ANY", "TRACER_SPLIT_PRIMARY")
 
 
 def knob_key() -> tuple:

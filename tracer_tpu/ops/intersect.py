@@ -280,10 +280,29 @@ def _use_pallas(t_pad: int) -> bool:
 # re-verified per lane by _reintersect (cross-chunk EXACT-t ties may
 # resolve differently; the estimator never depends on tie identity).
 
-def _perm_mode() -> str:
-    """TRACER_PERM_RAYS: '' (off) | oct | dmorton | odmorton — read per
+# Auto-enable thresholds (chunk count of the scene's accel, static at
+# trace time). Measured on the chip (2026-08-21, docs/PERF.md):
+#   closest  9 chunks (config 4): 54.61 vs 54.75 baseline — a wash;
+#            35 chunks (config 5): +12.6% fps; 544 chunks (config 6,
+#            with anyhit): 2.04x. Threshold between 9 and 35.
+#   anyhit   +18% already at 9 chunks (the ~90% NEE-masked shadow
+#            lanes group into dead tiles that schedule nothing);
+#            1 chunk has nothing to cull — pure sort cost.
+PERM_AUTO_MIN_CHUNKS = 16
+PERM_ANY_AUTO_MIN_CHUNKS = 2
+
+
+def _perm_mode(n_chunks: int) -> str:
+    """Resolved CLOSEST-query permutation key. TRACER_PERM_RAYS:
+    unset -> auto (odmorton when the scene has >= PERM_AUTO_MIN_CHUNKS
+    chunks, else off); '0'/'off' -> off; key name -> forced. Read per
     call like the other trace knobs (in integrator.TRACE_KNOBS)."""
-    return os.environ.get("TRACER_PERM_RAYS", "")
+    v = os.environ.get("TRACER_PERM_RAYS", "")
+    if v in ("0", "off"):
+        return ""
+    if v:
+        return v
+    return "odmorton" if n_chunks >= PERM_AUTO_MIN_CHUNKS else ""
 
 
 def _spread3(v, bits: int):
@@ -299,9 +318,8 @@ def _quant_i(v, lo, hi, bits: int):
     return jnp.clip(q, 0, (1 << bits) - 1)
 
 
-def _perm_key(phi_t, chunk_bounds):
+def _perm_key(phi_t, chunk_bounds, mode):
     """Coherence sort key from the ray features (phi = [d, o, oxd, 1])."""
-    mode = _perm_mode()
     d0, o0 = phi_t[0:3], phi_t[3:6]
     if mode == "oct":
         return ((d0[0] >= 0).astype(jnp.int32) * 4
@@ -328,11 +346,13 @@ def _perm_key(phi_t, chunk_bounds):
     return (om << 15) | dm
 
 
-def _permuted_closest(dense: DenseTris, tmax, phi_t, pk):
+def _permuted_closest(dense: DenseTris, tmax, phi_t, pk, mode=None):
     """Run the Pallas closest kernel on coherence-sorted lanes; returns
     (best_t, best_i) in the ORIGINAL lane order."""
     n = phi_t.shape[1]
-    key = _perm_key(phi_t, dense.chunk_bounds)
+    if mode is None:
+        mode = _perm_mode(int(dense.chunk_bounds.shape[0]))
+    key = _perm_key(phi_t, dense.chunk_bounds, mode)
     iota = jnp.arange(n, dtype=jnp.int32)
     tmax = jnp.asarray(tmax, jnp.float32)
     ops = (key, iota) + tuple(phi_t[i] for i in range(phi_t.shape[0]))
@@ -350,6 +370,42 @@ def _permuted_closest(dense: DenseTris, tmax, phi_t, pk):
     return back[1], back[2]
 
 
+def _perm_any_mode(n_chunks: int) -> str:
+    """Resolved ANYHIT-query permutation key — like _perm_mode but for
+    the shadow query, whose sort key additionally groups DEAD lanes
+    (tmax <= 0: NEE-masked or zero-length shadow rays — ~90% of shadow
+    lanes on spectral scenes) in front, so whole tiles of masked lanes
+    schedule nothing. TRACER_PERM_ANY: unset -> auto (odmorton at
+    >= PERM_ANY_AUTO_MIN_CHUNKS chunks); '0'/'off' -> off; key name ->
+    forced."""
+    v = os.environ.get("TRACER_PERM_ANY", "")
+    if v in ("0", "off"):
+        return ""
+    if v:
+        return v
+    return "odmorton" if n_chunks >= PERM_ANY_AUTO_MIN_CHUNKS else ""
+
+
+def _permuted_any(dense: DenseTris, tmax, phi_t, pk, mode=None):
+    """Run the Pallas anyhit kernel on coherence-sorted lanes (dead
+    lanes first); returns hit (N,) bool in the ORIGINAL lane order."""
+    n = phi_t.shape[1]
+    if mode is None:
+        mode = _perm_any_mode(int(dense.chunk_bounds.shape[0]))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    key = _perm_key(phi_t, dense.chunk_bounds, mode)
+    key = jnp.where(tmax > 0.0, key, -1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ops = (key, iota, tmax) + tuple(phi_t[i] for i in range(phi_t.shape[0]))
+    s = jax.lax.sort(ops, num_keys=1)
+    iota_s, tmax_s = s[1], s[2]
+    phi_s = jnp.stack(s[3:3 + phi_t.shape[0]], axis=0)
+    hit = pk.any_hit_pallas(dense.coeffs, phi_s, tmax_s,
+                            dense.chunk_bounds)
+    back = jax.lax.sort((iota_s, hit.astype(jnp.int32)), num_keys=1)
+    return back[1].astype(bool)
+
+
 def closest_hit(dense: DenseTris, tmax, origin, d,
                 chunk: int = DEFAULT_CHUNK):
     """Closest-hit query: rays as V3 (3,N)+(3,N) vs all triangles.
@@ -361,8 +417,10 @@ def closest_hit(dense: DenseTris, tmax, origin, d,
     phi_t = ray_features_t(origin, d)
     if _use_pallas(dense.coeffs.shape[1]):
         from tracer_tpu.ops.pallas import intersect_kernel as pk
-        if _perm_mode():
-            best_t, best_i = _permuted_closest(dense, tmax, phi_t, pk)
+        mode = _perm_mode(int(dense.chunk_bounds.shape[0]))
+        if mode:
+            best_t, best_i = _permuted_closest(dense, tmax, phi_t, pk,
+                                               mode=mode)
         else:
             best_t, best_i = pk.closest_hit_pallas(
                 dense.coeffs, phi_t, jnp.asarray(tmax, jnp.float32),
@@ -436,6 +494,9 @@ def any_hit(dense: DenseTris, tmax, origin, d,
     phi_t = ray_features_t(origin, d)
     if _use_pallas(dense.coeffs.shape[1]):
         from tracer_tpu.ops.pallas import intersect_kernel as pk
+        mode = _perm_any_mode(int(dense.chunk_bounds.shape[0]))
+        if mode:
+            return _permuted_any(dense, tmax, phi_t, pk, mode=mode)
         return pk.any_hit_pallas(dense.coeffs, phi_t,
                                  jnp.asarray(tmax, jnp.float32),
                                  dense.chunk_bounds)
