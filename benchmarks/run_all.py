@@ -240,11 +240,12 @@ else:
                unit="Mrays/s", config=cfg["name"],
                spp=spp, img_mean=round(imean, 4),
                samples_per_sec=round(reps * w * h * spp / dt / 1e6, 2))
-    # config 4 (spectrum): the walk simulator showed every chunk is
-    # visited by every tile on this scene (docs/PERF.md), so the
-    # no-cull model is exact there too
-    out.update(mfu_fields(s.scene, total_rays, dt,
-                          cull_exempt=cfg["name"] == "spectrum"))
+    # No cull_exempt configs anymore: the walk simulator showed config
+    # 4's CLOSEST queries visit every chunk, but the default anyhit
+    # permutation (intersect._perm_any_mode) now culls dead shadow
+    # tiles there too, so the no-cull model is an upper bound on every
+    # multi-chunk scene.
+    out.update(mfu_fields(s.scene, total_rays, dt))
 print("BENCH_RESULT " + json.dumps(out))
 """
 
