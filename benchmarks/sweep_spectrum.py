@@ -74,6 +74,7 @@ COMBOS = [
     # pool-size combos only make sense end-to-end (--e2e): they change
     # the integrator's iteration structure, not the query kernels
     ("pool32k", {"TRACER_POOL_TARGET": "32768"}),
+    ("pool65k", {"TRACER_POOL_TARGET": "65536"}),
     ("pool131k", {"TRACER_POOL_TARGET": "131072"}),
     ("pool262k", {"TRACER_POOL_TARGET": "262144"}),
     # pool x kernel-knob crosses (e2e): the best pool size may shift the

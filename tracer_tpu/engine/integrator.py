@@ -379,9 +379,24 @@ def _rotation_stride(n: int) -> int:
 # Configs whose n*spp/ITEMS_SMALL exceeds POOL_TARGET (the headline
 # 512^2 x 256spp, mirrorbox 64spp) keep pool = min(n, POOL_TARGET) and
 # the Q-periodic-rotation path exactly as before.
+#
+# BIG-SCENE POOLS GREW with the default boundary permutation (round 5):
+# sorted tiles get MORE coherent as the pool grows (more lanes per sort
+# => purer per-tile direction/origin clusters => better culling), so
+# the pre-perm ITEMS_TARGET=256 sizing left throughput on the table.
+# Measured e2e with perm active (2026-08-21):
+#   orbit (1024^2 x 1spp):  pool 8192 4.30 fps -> 32768 4.97 ->
+#                           65536 4.54 -> 131072 3.54 (tail returns)
+#   bigscene (512^2 x 16):  16384 3.63 Mrays/s -> 32768 4.38 ->
+#                           65536 4.68 -> 131072 4.60 -> 262144 4.19
+#   spectrum (512^2 x 64):  65536 64.7 (current) -> 131072 64.0
+# One rule reproduces all three optima: POOL_CAP_BIG = 65536 with
+# ITEMS_TARGET_BIG = 32 items/lane (orbit 32768, bigscene 65536,
+# spectrum 65536 — unchanged).
 POOL_TARGET = 262144
+POOL_CAP_BIG = 65536
 POOL_MIN = 8192
-ITEMS_TARGET = 256
+ITEMS_TARGET_BIG = 32
 ITEMS_SMALL = 16
 POOL_MIN_SMALL = 16384
 _SMALL_SCENE_TRIS = 512
@@ -401,7 +416,8 @@ def _pool_size(n: int, spp: int, t_pad: int) -> int:
         target = max(POOL_MIN_SMALL,
                      min(POOL_TARGET, (n * spp) // ITEMS_SMALL))
     else:
-        target = max(POOL_MIN, min(POOL_TARGET, (n * spp) // ITEMS_TARGET))
+        target = max(POOL_MIN,
+                     min(POOL_CAP_BIG, (n * spp) // ITEMS_TARGET_BIG))
     if n <= target:
         return n
     g = -(-n // target)
